@@ -1,0 +1,374 @@
+"""Chain orchestration: the per-step move mixture and the multi-chain runner.
+
+Reference: libs/MCMC.py. The reference runs one chain per OS process
+(mp.Pool, libs/MCMC.py:113-120) and mixes moves with Python-level randomness
+(do_step, libs/MCMC.py:320-342). Here one MCMC step is a pure jitted function
+(move selection via lax.cond on uniform draws), a *block* of steps is a
+lax.scan emitting trace rows, and chains are a vmapped leading axis that can
+be sharded over a 1-D device mesh. The host loop only stitches blocks
+together, checks wall-clock/convergence termination, and accumulates traces
+in numpy — mirroring the reference's scheduler semantics (steps / runtime /
+lugsail, libs/MCMC.py:79-193) at block granularity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from datetime import datetime
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bnpc_tpu.config import MCMCConfig, ModelConfig
+from bnpc_tpu.data import PackedData
+from bnpc_tpu.models.gibbs import gibbs_sweep
+from bnpc_tpu.models.splitmerge import split_merge
+from bnpc_tpu.models.updates import (
+    update_dp_alpha,
+    update_error_rates,
+    update_parameters,
+)
+from bnpc_tpu.ops import likelihood as lk
+from bnpc_tpu.state import CRPState, cluster_stats, init_state
+from bnpc_tpu import diagnostics
+
+
+class TraceRow(NamedTuple):
+    ml: jnp.ndarray          # [] f32 log-likelihood
+    map_: jnp.ndarray        # [] f32 log-posterior
+    dp_alpha: jnp.ndarray    # [] f32
+    fp: jnp.ndarray          # [] f32
+    fn: jnp.ndarray          # [] f32
+    assignment: jnp.ndarray  # [n] i32
+    params: jnp.ndarray      # [trace_k, m] f32, live slots compacted to top
+    mh_counts: jnp.ndarray   # [5, 2] i32 (params, splits, merges, FP, FN)
+
+
+def resolve_trace_k(cfg: ModelConfig, mcmc_cfg: MCMCConfig) -> int:
+    if mcmc_cfg.trace_k > 0:
+        return min(mcmc_cfg.trace_k, cfg.k_max)
+    return min(cfg.k_max, 128)
+
+
+def _compact_params(state: CRPState, trace_k: int) -> jnp.ndarray:
+    """Rows of live slots in ascending slot order, zero-padded to trace_k.
+
+    Matches the reference's storage of ``parameters[sorted(live_ids)]`` into
+    row positions 0..K-1 (libs/MCMC.py:261-282): estimator code downstream
+    addresses clusters by their rank among sorted ids.
+    """
+    live = state.cluster_size > 0
+    order = jnp.argsort(~live, stable=True)  # live slots first, slot order
+    sel = order[:trace_k]
+    return state.params[sel] * live[sel][:, None].astype(state.params.dtype)
+
+
+def summarize(state: CRPState, data: PackedData, cfg: ModelConfig,
+              trace_k: int) -> TraceRow:
+    """One trace row for the current state (libs/MCMC.py:242-282)."""
+    n1, n0 = cluster_stats(data, state.assignment, cfg.k_max)
+    c1, c0 = lk.log_prob_tables(state.params, state.fp, state.fn)
+    ml = lk.ll_from_stats(n1, n0, c1, c0)
+    lprior = lk.log_prior_full(
+        cfg, state.cluster_size, state.params, state.dp_alpha,
+        state.fp, state.fn,
+    )
+    return TraceRow(
+        ml=ml,
+        map_=ml + lprior,
+        dp_alpha=state.dp_alpha,
+        fp=state.fp,
+        fn=state.fn,
+        assignment=state.assignment,
+        params=_compact_params(state, trace_k),
+        mh_counts=jnp.zeros((5, 2), jnp.int32),
+    )
+
+
+def make_step_fn(cfg: ModelConfig, mcmc_cfg: MCMCConfig, data: PackedData,
+                 trace_k: int):
+    """Build the jittable single-step function (do_step, libs/MCMC.py:320-342)."""
+
+    def step(state: CRPState, key) -> tuple[CRPState, TraceRow]:
+        k_sel, k_assign, k_dpa, k_par, k_err = jax.random.split(key, 5)
+        u_sm, u_dpa, u_err = jax.random.uniform(k_sel, (3,))
+        counts = jnp.zeros((5, 2), jnp.int32)
+
+        if not mcmc_cfg.fix_assign:
+            def do_sm(st):
+                return split_merge(
+                    k_assign, st, data, cfg,
+                    mcmc_cfg.sm_split_ratio, mcmc_cfg.sm_steps,
+                )
+
+            def do_gibbs(st):
+                return (
+                    gibbs_sweep(k_assign, st, data, cfg),
+                    jnp.zeros((2, 2), jnp.int32),
+                )
+
+            if mcmc_cfg.sm_prob > 0.0:
+                state, sm_counts = jax.lax.cond(
+                    u_sm < mcmc_cfg.sm_prob, do_sm, do_gibbs, state
+                )
+            else:
+                state, sm_counts = do_gibbs(state)
+            counts = counts.at[1:3].add(sm_counts)
+
+            if mcmc_cfg.dpa_prob > 0.0:
+                state = jax.lax.cond(
+                    u_dpa < mcmc_cfg.dpa_prob,
+                    lambda st: update_dp_alpha(k_dpa, st, cfg),
+                    lambda st: st,
+                    state,
+                )
+
+        n1, n0 = cluster_stats(data, state.assignment, cfg.k_max)
+        state, par_dec, par_acc = update_parameters(k_par, state, n1, n0, cfg)
+        counts = counts.at[0, 0].add(par_acc.astype(jnp.int32))
+        counts = counts.at[0, 1].add(par_dec.astype(jnp.int32))
+
+        if cfg.learn_errors and mcmc_cfg.error_prob > 0.0:
+            def do_err(st):
+                st2, fp_acc, fn_acc = update_error_rates(
+                    k_err, st, n1, n0, cfg
+                )
+                c = jnp.zeros((2, 2), jnp.int32)
+                c = c.at[0, 0].set(fp_acc.astype(jnp.int32))
+                c = c.at[0, 1].set(1 - fp_acc.astype(jnp.int32))
+                c = c.at[1, 0].set(fn_acc.astype(jnp.int32))
+                c = c.at[1, 1].set(1 - fn_acc.astype(jnp.int32))
+                return st2, c
+
+            state, err_counts = jax.lax.cond(
+                u_err < mcmc_cfg.error_prob,
+                do_err,
+                lambda st: (st, jnp.zeros((2, 2), jnp.int32)),
+                state,
+            )
+            counts = counts.at[3:5].add(err_counts)
+
+        row = summarize(state, data, cfg, trace_k)
+        return state, row._replace(mh_counts=counts)
+
+    return step
+
+
+def make_block_fn(cfg, mcmc_cfg, data, trace_k):
+    """scan a block of steps; returns (state, stacked TraceRows)."""
+    step = make_step_fn(cfg, mcmc_cfg, data, trace_k)
+
+    def block(state: CRPState, keys) -> tuple[CRPState, TraceRow]:
+        return jax.lax.scan(step, state, keys)
+
+    return block
+
+
+# ---------------------------------------------------------------------------
+# Host-side result containers (structurally the reference's `results` dicts)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ChainResult:
+    """Mirrors the per-chain results dict (libs/MCMC.py:231-258)."""
+
+    ML: np.ndarray
+    MAP: np.ndarray
+    DP_alpha: np.ndarray
+    FN: np.ndarray
+    FP: np.ndarray
+    assignments: np.ndarray   # [steps, n]
+    params: np.ndarray        # [post_burn_in_steps, trace_k, m]
+    burn_in: int
+    mh_counts: np.ndarray     # [5, 2]
+    PSRF: list = dataclasses.field(default_factory=list)
+    PSRF_cutoff: float | None = None
+
+    def as_dict(self) -> dict:
+        d = {
+            "ML": self.ML, "MAP": self.MAP, "DP_alpha": self.DP_alpha,
+            "FN": self.FN, "FP": self.FP, "assignments": self.assignments,
+            "params": self.params, "burn_in": self.burn_in,
+        }
+        if self.PSRF:
+            d["PSRF"] = self.PSRF
+            d["PSRF_cutoff"] = self.PSRF_cutoff
+        return d
+
+
+class _TraceBuffer:
+    """Accumulates device trace blocks into host numpy arrays."""
+
+    def __init__(self, n_chains: int):
+        self.rows: list = []  # list of TraceRow pytrees (numpy, [C, B, ...])
+        self.n_chains = n_chains
+
+    def append(self, rows: TraceRow):
+        self.rows.append(jax.tree.map(np.asarray, rows))
+
+    def concat(self) -> TraceRow:
+        return jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=1), *self.rows
+        )
+
+    @property
+    def n_steps(self) -> int:
+        return sum(r.ml.shape[1] for r in self.rows)
+
+
+class MCMCRunner:
+    """Multi-chain scheduler (reference MCMC class, libs/MCMC.py:26-193).
+
+    Chains are a batched leading axis executed in one jitted scan per block;
+    with a multi-device mesh the chain axis is sharded so chains ride
+    separate chips with zero collectives (they only meet on the host for
+    PSRF checks and result pooling, as in the reference).
+    """
+
+    def __init__(self, cfg: ModelConfig, mcmc_cfg: MCMCConfig,
+                 data: PackedData, block_size: int = 256, mesh=None):
+        self.cfg = cfg
+        self.mcmc_cfg = mcmc_cfg
+        self.data = data
+        self.block_size = block_size
+        self.trace_k = resolve_trace_k(cfg, mcmc_cfg)
+        self.mesh = mesh
+        block = make_block_fn(cfg, mcmc_cfg, data, self.trace_k)
+        self._block = jax.jit(jax.vmap(block))
+        self._summary = jax.jit(
+            jax.vmap(lambda st: summarize(st, data, cfg, self.trace_k))
+        )
+        self.seeds: np.ndarray | None = None
+
+    # -- low-level --------------------------------------------------------
+
+    def init_chains(self, key, n_chains: int, assign=None) -> CRPState:
+        keys = jax.random.split(key, n_chains)
+        if assign is not None:
+            states = [
+                init_state(k, self.cfg, self.data, assign=assign)
+                for k in keys
+            ]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        return jax.vmap(
+            lambda k: init_state(k, self.cfg, self.data, mode="random")
+        )(keys)
+
+    def run_block(self, states: CRPState, keys, n_steps: int):
+        step_keys = jax.vmap(
+            lambda k: jax.random.split(k, n_steps + 1)
+        )(keys)
+        next_keys = step_keys[:, 0]
+        states, rows = self._block(states, step_keys[:, 1:])
+        return states, rows, next_keys
+
+    # -- top-level run (libs/MCMC.py:79-123) -------------------------------
+
+    def run(self, run_var, seed: int, n_chains: int = 1, assign=None,
+            verbosity: int = 1):
+        """run_var: (steps:int, burn_in:int) | (end:datetime, bi:datetime) |
+        (cutoff:float, 0). Returns list[ChainResult]."""
+        if seed is None or seed < 0:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        root = jax.random.key(seed)
+        k_init, k_run = jax.random.split(root)
+        # Per-chain seeds reported for reproducibility (libs/MCMC.py:102-104).
+        self.seeds = np.asarray(
+            jax.random.randint(k_init, (n_chains,), 0, 2**31 - 1)
+        )
+
+        states = self.init_chains(k_init, n_chains, assign=assign)
+        keys = jax.random.split(k_run, n_chains)
+
+        if isinstance(run_var[0], (int, np.integer)):
+            return self._run_steps(states, keys, int(run_var[0]),
+                                   int(run_var[1]))
+        if isinstance(run_var[0], float):
+            return self._run_lugsail(states, keys, float(run_var[0]),
+                                     verbosity)
+        return self._run_time(states, keys, run_var[0], run_var[1])
+
+    def _collect(self, buf: _TraceBuffer, init_rows: TraceRow, burn_in,
+                 psrf=None, cutoff=None) -> list[ChainResult]:
+        rows = buf.concat()
+        # Prepend the initial-state row (reference records step 0 at chain
+        # construction, libs/MCMC.py:349-358).
+        full = jax.tree.map(
+            lambda a, b: np.concatenate([np.asarray(a)[:, None], b], axis=1),
+            jax.tree.map(np.asarray, init_rows), rows,
+        )
+        results = []
+        for c in range(buf.n_chains):
+            bi = burn_in if np.isscalar(burn_in) else burn_in[c]
+            res = ChainResult(
+                ML=full.ml[c],
+                MAP=full.map_[c],
+                DP_alpha=full.dp_alpha[c],
+                FN=full.fn[c],
+                FP=full.fp[c],
+                assignments=full.assignment[c],
+                params=full.params[c][int(bi):],
+                burn_in=int(bi),
+                mh_counts=full.mh_counts[c].sum(axis=0),
+            )
+            if psrf is not None:
+                res.PSRF = list(psrf)
+                res.PSRF_cutoff = cutoff
+            results.append(res)
+        return results
+
+    def _run_steps(self, states, keys, steps: int, burn_in: int):
+        init_rows = self._summary(states)
+        buf = _TraceBuffer(keys.shape[0])
+        done = 0
+        while done < steps:
+            b = min(self.block_size, steps - done)
+            states, rows, keys = self.run_block(states, keys, b)
+            buf.append(rows)
+            done += b
+        return self._collect(buf, init_rows, burn_in)
+
+    def _run_time(self, states, keys, end_time: datetime,
+                  burnin_time: datetime):
+        init_rows = self._summary(states)
+        buf = _TraceBuffer(keys.shape[0])
+        burn_in = 0
+        while datetime.now() < end_time:
+            states, rows, keys = self.run_block(states, keys,
+                                                self.block_size)
+            jax.block_until_ready(rows.ml)
+            buf.append(rows)
+            if datetime.now() < burnin_time:
+                burn_in = buf.n_steps
+        return self._collect(buf, init_rows, burn_in)
+
+    def _run_lugsail(self, states, keys, cutoff: float, verbosity: int,
+                     extension: int = 200):
+        # Initial steps: max(10, 1/(cutoff^2 - 1)) (libs/MCMC.py:85-90).
+        first = max(10, int(1.0 / (cutoff**2 - 1.0)))
+        init_rows = self._summary(states)
+        buf = _TraceBuffer(keys.shape[0])
+        states, rows, keys = self.run_block(states, keys, first)
+        buf.append(rows)
+        psrf_log = []
+        while True:
+            steps_run = buf.n_steps + 1  # incl. initial row
+            ml = np.concatenate(
+                [np.asarray(init_rows.ml)[:, None], buf.concat().ml], axis=1
+            )
+            psrf = diagnostics.lugsail_psrf(
+                [(ml[c], steps_run // 2) for c in range(ml.shape[0])]
+            )
+            psrf_log.append((steps_run, psrf))
+            if verbosity > 1:
+                print(f"\tPSRF at {steps_run}:\t{psrf:.5f}")
+            if psrf <= cutoff:
+                break
+            states, rows, keys = self.run_block(states, keys, extension)
+            buf.append(rows)
+        burn_in = (buf.n_steps + 1) // 2 + 1
+        return self._collect(buf, init_rows, burn_in, psrf=psrf_log,
+                             cutoff=cutoff)
