@@ -1,0 +1,101 @@
+"""End-to-end CLI runs on a simulated dataset (SURVEY.md section 4, item 3-4):
+recovers known clusters and writes the reference's output-file contract."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bnpc_tpu import cli
+
+
+def write_sim_folder(tmp_path, n=40, m=30, k_clones=3, seed=11,
+                     fn_rate=0.1, fp_rate=0.01, missing=0.1):
+    rng = np.random.default_rng(seed)
+    while True:
+        genotypes = rng.integers(0, 2, size=(k_clones, m))
+        true_assign = rng.integers(0, k_clones, size=n)
+        if np.unique(true_assign).size == k_clones:
+            break
+    clean = genotypes[true_assign].astype(float)
+    noisy = clean.copy()
+    noisy[(clean == 1) & (rng.random((n, m)) < fn_rate)] = 0
+    noisy[(clean == 0) & (rng.random((n, m)) < fp_rate)] = 1
+    noisy[rng.random((n, m)) < missing] = 3  # missing marker
+
+    # Files are mutations x cells (the CLI transposes by default).
+    pd.DataFrame(noisy.T.astype(int)).to_csv(
+        tmp_path / "data.csv", sep=" ", header=False, index=False
+    )
+    pd.DataFrame(clean.T.astype(int)).to_csv(
+        tmp_path / "data_raw.csv", sep=" ", header=False, index=False
+    )
+    (tmp_path / "attachments.txt").write_text(
+        " ".join(str(c) for c in true_assign)
+    )
+    return true_assign
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path):
+    true_assign = write_sim_folder(tmp_path)
+    out_dir = tmp_path / "out"
+
+    args = cli.parse_args([
+        str(tmp_path), "-FP", "0.01", "-FN", "0.1",
+        "-s", "250", "-b", "0.4", "--seed", "42",
+        "-e", "posterior", "ML", "MAP",
+        "-o", str(out_dir), "-v", "0", "-np",
+        "--block_size", "64",
+    ])
+    cli.main(args)
+
+    for fname in ["args.txt", "errors.txt", "assignment.txt",
+                  "ARI.txt", "V_measure.txt", "hammingDist.txt"]:
+        assert (out_dir / fname).exists(), fname
+    # One genotype file per estimator.
+    for est in ["posterior", "ML", "MAP"]:
+        assert (out_dir / f"genotypes_{est}_mean.tsv").exists() or any(
+            f.startswith(f"genotypes_{est}") for f in os.listdir(out_dir)
+        )
+
+    ari_df = pd.read_csv(out_dir / "ARI.txt", sep="\t")
+    assert set(ari_df.columns) == {"chain", "estimator", "ARI"}
+    best_ari = ari_df["ARI"].max()
+    assert best_ari > 0.9, f"ARI {best_ari}\n{ari_df}"
+
+    ham = pd.read_csv(out_dir / "hammingDist.txt", sep="\t")
+    assert ham["1 - norm Hamming distance"].max() > 0.9
+
+    assign_df = pd.read_csv(out_dir / "assignment.txt", sep="\t")
+    assert list(assign_df.columns) == ["chain", "estimator", "Assignment"]
+    first = [int(x) for x in assign_df["Assignment"][0].split(" ")]
+    assert len(first) == len(true_assign)
+
+    # args.txt carries the run config incl. seeds and PSRF.
+    args_txt = (out_dir / "args.txt").read_text()
+    assert "chain_seeds" in args_txt and "PSRF" in args_txt
+    # Fixed-error run: prior-mean fields pruned (libs/dpmmIO.py:437-447).
+    assert "falseNegative_mean" not in args_txt
+
+
+@pytest.mark.slow
+def test_cli_learned_errors_and_plots(tmp_path):
+    write_sim_folder(tmp_path, n=20, m=16, k_clones=2, seed=5)
+    out_dir = tmp_path / "out"
+    args = cli.parse_args([
+        str(tmp_path / "data.csv"),
+        "-s", "80", "-b", "0.5", "--seed", "7",
+        "-e", "ML", "-o", str(out_dir), "-v", "2",
+        "--block_size", "40",
+    ])
+    cli.main(args)
+    assert (out_dir / "Traces.pdf").exists()
+    assert any(
+        f.startswith("genoCluster_ML") for f in os.listdir(out_dir)
+    )
+    assert (out_dir / "Posterior_similarity_mean.pdf").exists()
+    # Learned-error run: fixed-value fields pruned.
+    args_txt = (out_dir / "args.txt").read_text()
+    assert "falseNegative_mean" in args_txt
