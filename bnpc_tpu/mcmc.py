@@ -31,8 +31,11 @@ from bnpc_tpu.models.updates import (
     update_parameters,
 )
 from bnpc_tpu.ops import likelihood as lk
+from bnpc_tpu.parallel.axis import MutAxis
 from bnpc_tpu.state import CRPState, cluster_stats, init_state
 from bnpc_tpu import diagnostics
+
+_NO_AXIS = MutAxis()
 
 
 class TraceRow(NamedTuple):
@@ -66,14 +69,14 @@ def _compact_params(state: CRPState, trace_k: int) -> jnp.ndarray:
 
 
 def summarize(state: CRPState, data: PackedData, cfg: ModelConfig,
-              trace_k: int) -> TraceRow:
+              trace_k: int, ax: MutAxis = _NO_AXIS) -> TraceRow:
     """One trace row for the current state (libs/MCMC.py:242-282)."""
     n1, n0 = cluster_stats(data, state.assignment, cfg.k_max)
     c1, c0 = lk.log_prob_tables(state.params, state.fp, state.fn)
-    ml = lk.ll_from_stats(n1, n0, c1, c0)
+    ml = lk.ll_from_stats(n1, n0, c1, c0, ax)
     lprior = lk.log_prior_full(
         cfg, state.cluster_size, state.params, state.dp_alpha,
-        state.fp, state.fn,
+        state.fp, state.fn, ax,
     )
     return TraceRow(
         ml=ml,
@@ -88,7 +91,7 @@ def summarize(state: CRPState, data: PackedData, cfg: ModelConfig,
 
 
 def make_step_fn(cfg: ModelConfig, mcmc_cfg: MCMCConfig, data: PackedData,
-                 trace_k: int):
+                 trace_k: int, ax: MutAxis = _NO_AXIS):
     """Build the jittable single-step function (do_step, libs/MCMC.py:320-342)."""
 
     def step(state: CRPState, key) -> tuple[CRPState, TraceRow]:
@@ -100,12 +103,12 @@ def make_step_fn(cfg: ModelConfig, mcmc_cfg: MCMCConfig, data: PackedData,
             def do_sm(st):
                 return split_merge(
                     k_assign, st, data, cfg,
-                    mcmc_cfg.sm_split_ratio, mcmc_cfg.sm_steps,
+                    mcmc_cfg.sm_split_ratio, mcmc_cfg.sm_steps, ax=ax,
                 )
 
             def do_gibbs(st):
                 return (
-                    gibbs_sweep(k_assign, st, data, cfg),
+                    gibbs_sweep(k_assign, st, data, cfg, ax=ax),
                     jnp.zeros((2, 2), jnp.int32),
                 )
 
@@ -126,14 +129,16 @@ def make_step_fn(cfg: ModelConfig, mcmc_cfg: MCMCConfig, data: PackedData,
                 )
 
         n1, n0 = cluster_stats(data, state.assignment, cfg.k_max)
-        state, par_dec, par_acc = update_parameters(k_par, state, n1, n0, cfg)
+        state, par_dec, par_acc = update_parameters(
+            k_par, state, n1, n0, cfg, ax=ax
+        )
         counts = counts.at[0, 0].add(par_acc.astype(jnp.int32))
         counts = counts.at[0, 1].add(par_dec.astype(jnp.int32))
 
         if cfg.learn_errors and mcmc_cfg.error_prob > 0.0:
             def do_err(st):
                 st2, fp_acc, fn_acc = update_error_rates(
-                    k_err, st, n1, n0, cfg
+                    k_err, st, n1, n0, cfg, ax=ax
                 )
                 c = jnp.zeros((2, 2), jnp.int32)
                 c = c.at[0, 0].set(fp_acc.astype(jnp.int32))
@@ -150,15 +155,15 @@ def make_step_fn(cfg: ModelConfig, mcmc_cfg: MCMCConfig, data: PackedData,
             )
             counts = counts.at[3:5].add(err_counts)
 
-        row = summarize(state, data, cfg, trace_k)
+        row = summarize(state, data, cfg, trace_k, ax)
         return state, row._replace(mh_counts=counts)
 
     return step
 
 
-def make_block_fn(cfg, mcmc_cfg, data, trace_k):
+def make_block_fn(cfg, mcmc_cfg, data, trace_k, ax: MutAxis = _NO_AXIS):
     """scan a block of steps; returns (state, stacked TraceRows)."""
-    step = make_step_fn(cfg, mcmc_cfg, data, trace_k)
+    step = make_step_fn(cfg, mcmc_cfg, data, trace_k, ax)
 
     def block(state: CRPState, keys) -> tuple[CRPState, TraceRow]:
         return jax.lax.scan(step, state, keys)

@@ -17,13 +17,16 @@ import jax.numpy as jnp
 from bnpc_tpu.config import TMIN, TMAX, ModelConfig
 from bnpc_tpu.data import PackedData
 from bnpc_tpu.ops import likelihood as lk
+from bnpc_tpu.parallel.axis import MutAxis
 from bnpc_tpu.state import CRPState
+
+_NO_AXIS = MutAxis()
 
 NEG_INF = -jnp.inf
 
 
 def gibbs_sweep(key, state: CRPState, data: PackedData,
-                cfg: ModelConfig) -> CRPState:
+                cfg: ModelConfig, ax: MutAxis = _NO_AXIS) -> CRPState:
     n, k_max = cfg.n_cells, cfg.k_max
     k_perm, k_scan = jax.random.split(key)
 
@@ -53,7 +56,7 @@ def gibbs_sweep(key, state: CRPState, data: PackedData,
         live = size > 0
 
         # Posterior over live slots + the new-cluster option.
-        ll = lk.ll_row(xm_row, xm0_row, c1, c0)
+        ll = lk.ll_row(xm_row, xm0_row, c1, c0, ax)
         log_size = jnp.log(jnp.maximum(size, 1).astype(jnp.float32))
         post_old = jnp.where(live, ll + log_size - log_denom, NEG_INF)
         has_free = jnp.any(~live)
@@ -70,7 +73,8 @@ def gibbs_sweep(key, state: CRPState, data: PackedData,
         # Drawn unconditionally (cheap, keeps the scan branch-free) and written
         # to the free slot only when the new-cluster option was selected.
         fresh = jnp.clip(
-            jax.random.beta(k_beta, cfg.p + xm_row, cfg.q + xm0_row),
+            jax.random.beta(ax.fold_key(k_beta), cfg.p + xm_row,
+                            cfg.q + xm0_row),
             TMIN, TMAX,
         ).astype(jnp.float32)
         row = jnp.where(is_new, fresh, params[free])

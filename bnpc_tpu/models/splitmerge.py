@@ -32,7 +32,10 @@ from bnpc_tpu.data import PackedData
 from bnpc_tpu.ops import distributions as dist
 from bnpc_tpu.ops import likelihood as lk
 from bnpc_tpu.ops import mh
+from bnpc_tpu.parallel.axis import MutAxis
 from bnpc_tpu.state import CRPState, first_free_slot
+
+_NO_AXIS = MutAxis()
 
 NEG_INF = -jnp.inf
 
@@ -167,8 +170,8 @@ def _setup(key, state: CRPState, cfg: ModelConfig, is_split) -> _MoveCtx:
 
 
 def _rg_init(key, ctx: _MoveCtx, state: CRPState, data: PackedData,
-             cfg: ModelConfig) -> _RGState:
-    k_i, k_j, k_m = jax.random.split(key, 3)
+             cfg: ModelConfig, ax: MutAxis = _NO_AXIS) -> _RGState:
+    k_i, k_j, k_m = jax.random.split(ax.fold_key(key), 3)
     mix0, _ = cfg.beta_mix
     mask = data.mask
 
@@ -181,8 +184,8 @@ def _rg_init(key, ctx: _MoveCtx, state: CRPState, data: PackedData,
     th_j = anchor_theta(ctx.anchor_j)
     ci1, ci0 = lk.log_prob_tables(th_i, state.fp, state.fn)
     cj1, cj0 = lk.log_prob_tables(th_j, state.fp, state.fn)
-    ll_i = data.xm @ ci1 + data.xm0 @ ci0
-    ll_j = data.xm @ cj1 + data.xm0 @ cj0
+    ll_i = ax.psum(data.xm @ ci1 + data.xm0 @ ci0)
+    ll_j = ax.psum(data.xm @ cj1 + data.xm0 @ cj0)
     rg = jnp.where(ll_j > ll_i, 1, 0).astype(jnp.int32)
 
     side0, side1 = _side_masks(ctx, rg)
@@ -201,7 +204,7 @@ def _rg_init(key, ctx: _MoveCtx, state: CRPState, data: PackedData,
 
 def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
                     data: PackedData, cfg: ModelConfig, trans_prob: bool,
-                    random_order: bool = True):
+                    random_order: bool = True, ax: MutAxis = _NO_AXIS):
     """Sequential restricted 2-way Gibbs over the non-anchor cells.
 
     Reference: _rg_scan_assign (libs/CRP.py:609-632). Returns (rg, sum of
@@ -218,7 +221,7 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
     # Launch params are constant during the scan, so the [n, 2] table is one
     # matmul (reference precomputes it too, libs/CRP.py:610).
     c1, c0 = lk.log_prob_tables(params_split, state.fp, state.fn)  # [2, m]
-    ll2 = data.xm @ c1.T + data.xm0 @ c0.T  # [n, 2]
+    ll2 = ax.psum(data.xm @ c1.T + data.xm0 @ c0.T)  # [n, 2]
 
     log_denom = jnp.log(ctx.n_move - 1.0 + state.dp_alpha)
     count1_init = jnp.sum(jnp.where(ctx.s_mask, rg, 0)).astype(jnp.float32)
@@ -247,31 +250,32 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
 
 
 def _rg_scan_split(key, ctx, rgs: _RGState, state, data, cfg,
-                   trans_prob: bool):
+                   trans_prob: bool, ax: MutAxis = _NO_AXIS):
     """One launch scan of the split configuration (libs/CRP.py:570-606)."""
     k_assign, k_par = jax.random.split(key)
     rg, prob_cl = _rg_scan_assign(
-        k_assign, ctx, rgs.rg, rgs.params_split, state, data, cfg, trans_prob
+        k_assign, ctx, rgs.rg, rgs.params_split, state, data, cfg, trans_prob,
+        ax=ax,
     )
     side0, side1 = _side_masks(ctx, rg)
     n1 = jnp.stack([side0 @ data.xm, side1 @ data.xm])
     n0 = jnp.stack([side0 @ data.xm0, side1 @ data.xm0])
     res = mh.mh_cluster_params(
         k_par, rgs.params_split, n1, n0, state.fp, state.fn, cfg,
-        trans_prob=trans_prob,
+        trans_prob=trans_prob, ax=ax,
     )
     return rgs._replace(rg=rg, params_split=res.params), \
         prob_cl + jnp.sum(res.trans_logprob)
 
 
 def _rg_scan_merge(key, ctx, rgs: _RGState, state, data, cfg,
-                   trans_prob: bool):
+                   trans_prob: bool, ax: MutAxis = _NO_AXIS):
     """One launch scan of the merge configuration (libs/CRP.py:581-587)."""
     cells_f = ctx.cells.astype(jnp.float32)
     n1, n0 = _masked_counts(cells_f, data)
     res = mh.mh_cluster_params(
         key, rgs.params_merge, n1, n0, state.fp, state.fn, cfg,
-        trans_prob=trans_prob,
+        trans_prob=trans_prob, ax=ax,
     )
     return rgs._replace(params_merge=res.params), res.trans_logprob
 
@@ -281,21 +285,21 @@ def _rg_scan_merge(key, ctx, rgs: _RGState, state, data, cfg,
 # ---------------------------------------------------------------------------
 
 
-def _ll_sides(ctx, rgs: _RGState, state, data):
+def _ll_sides(ctx, rgs: _RGState, state, data, ax: MutAxis = _NO_AXIS):
     """(ll_i + ll_j under split params, ll_all under merge params) —
     eqs. 11/12 (libs/CRP.py:716-733)."""
     side0, side1 = _side_masks(ctx, rgs.rg)
     c1s, c0s = lk.log_prob_tables(rgs.params_split, state.fp, state.fn)
     n1_0, n0_0 = _masked_counts(side0, data)
     n1_1, n0_1 = _masked_counts(side1, data)
-    ll_split = (
+    ll_split = ax.psum(
         jnp.sum(n1_0 * c1s[0] + n0_0 * c0s[0])
         + jnp.sum(n1_1 * c1s[1] + n0_1 * c0s[1])
     )
     cells_f = ctx.cells.astype(jnp.float32)
     n1_m, n0_m = _masked_counts(cells_f, data)
     c1m, c0m = lk.log_prob_tables(rgs.params_merge, state.fp, state.fn)
-    ll_all = jnp.sum(n1_m * c1m + n0_m * c0m)
+    ll_all = ax.psum(jnp.sum(n1_m * c1m + n0_m * c0m))
     return ll_split, ll_all
 
 
@@ -306,17 +310,19 @@ def _split_counts(ctx, rg):
     return n_i, n_j
 
 
-def _beta_prior_sum(cfg, x):
-    return jnp.sum(dist.beta_logpdf(x, cfg.p, cfg.q, cfg.log_beta_norm))
+def _beta_prior_sum(cfg, x, ax: MutAxis = _NO_AXIS):
+    return ax.psum(jnp.sum(
+        ax.apply_mask(dist.beta_logpdf(x, cfg.p, cfg.q, cfg.log_beta_norm))
+    ))
 
 
-def _reverse_split_prob(key, ctx, rgs: _RGState, state, data, cfg):
+def _reverse_split_prob(key, ctx, rgs: _RGState, state, data, cfg,
+                        ax: MutAxis = _NO_AXIS):
     """Probability of regenerating the *original* split from the launch state
     (merge move reverse path; _rg_get_split_prob, libs/CRP.py:777-820).
     """
-    k_std, _ = jax.random.split(key)
-    m = cfg.n_muts
-    std = mh.draw_proposal_std(k_std, (2, m))
+    k_std, _ = jax.random.split(ax.fold_key(key))
+    std = mh.draw_proposal_std(k_std, rgs.params_split.shape)
     # NOTE: bounds 0/1 here, not TMIN/TMAX — reference quirk (libs/CRP.py:779-780).
     a = (0.0 - rgs.params_split) / std
     b = (1.0 - rgs.params_split) / std
@@ -329,11 +335,11 @@ def _reverse_split_prob(key, ctx, rgs: _RGState, state, data, cfg):
     target_j = state.params[ctx.cl_b]
     prob_param_i = mh.realized_trans_logprob(
         target_i, rgs.params_split[0], n1_0, n0_0, a[0], b[0], std[0],
-        state.fp, state.fn, cfg,
+        state.fp, state.fn, cfg, ax=ax,
     )
     prob_param_j = mh.realized_trans_logprob(
         target_j, rgs.params_split[1], n1_1, n0_1, a[1], b[1], std[1],
-        state.fp, state.fn, cfg,
+        state.fp, state.fn, cfg, ax=ax,
     )
 
     # Assignment reverse probabilities: sequentially force each cell to its
@@ -342,7 +348,7 @@ def _reverse_split_prob(key, ctx, rgs: _RGState, state, data, cfg):
     c1, c0 = lk.log_prob_tables(
         jnp.stack([target_i, target_j]), state.fp, state.fn
     )
-    ll2 = data.xm @ c1.T + data.xm0 @ c0.T
+    ll2 = ax.psum(data.xm @ c1.T + data.xm0 @ c0.T)
     log_denom = jnp.log(ctx.n_move - 1.0 + state.dp_alpha)
     count1_init = jnp.sum(jnp.where(ctx.s_mask, rgs.rg, 0)).astype(jnp.float32)
 
@@ -374,7 +380,8 @@ def _reverse_split_prob(key, ctx, rgs: _RGState, state, data, cfg):
 
 
 def split_merge(key, state: CRPState, data: PackedData, cfg: ModelConfig,
-                sm_split_ratio: float, sm_steps: int):
+                sm_split_ratio: float, sm_steps: int,
+                ax: MutAxis = _NO_AXIS):
     """One split-merge proposal. Returns (state, counts[2, 2]) where
     counts[0] = (accepted, declined) split deltas and counts[1] the merge
     deltas (feeding MH_counter rows 1/2, libs/MCMC.py:320-328).
@@ -392,14 +399,14 @@ def split_merge(key, state: CRPState, data: PackedData, cfg: ModelConfig,
     is_split = forced_split | (want_split & ~forced_merge)
 
     ctx = _setup(k_setup, state, cfg, is_split)
-    rgs = _rg_init(k_init, ctx, state, data, cfg)
+    rgs = _rg_init(k_init, ctx, state, data, cfg, ax=ax)
 
     # Launch scans (libs/CRP.py:535-537): each iteration refreshes both the
     # split and the merge configuration.
     def scan_body(rgs, kk):
         k1, k2 = jax.random.split(kk)
-        rgs, _ = _rg_scan_split(k1, ctx, rgs, state, data, cfg, False)
-        rgs, _ = _rg_scan_merge(k2, ctx, rgs, state, data, cfg, False)
+        rgs, _ = _rg_scan_split(k1, ctx, rgs, state, data, cfg, False, ax=ax)
+        rgs, _ = _rg_scan_merge(k2, ctx, rgs, state, data, cfg, False, ax=ax)
         return rgs, None
 
     rgs, _ = jax.lax.scan(
@@ -412,16 +419,18 @@ def split_merge(key, state: CRPState, data: PackedData, cfg: ModelConfig,
     def split_branch():
         # Final scan to the proposal state, with transition probabilities
         # (eq. 15 forward term).
-        rgs2, gs_split = _rg_scan_split(k_f1, ctx, rgs, state, data, cfg, True)
+        rgs2, gs_split = _rg_scan_split(k_f1, ctx, rgs, state, data, cfg,
+                                        True, ax=ax)
         # Reverse: merge-launch -> original single cluster (eq. 15).
-        std = mh.draw_proposal_std(k_f2, (cfg.n_muts,))
+        std = mh.draw_proposal_std(ax.fold_key(k_f2),
+                                   rgs.params_merge.shape)
         a = (TMIN - rgs2.params_merge) / std
         b = (TMAX - rgs2.params_merge) / std
         cells_f = ctx.cells.astype(jnp.float32)
         n1_m, n0_m = _masked_counts(cells_f, data)
         gs_merge = mh.realized_trans_logprob(
             state.params[ctx.cl_a], rgs2.params_merge, n1_m, n0_m,
-            a, b, std, state.fp, state.fn, cfg,
+            a, b, std, state.fp, state.fn, cfg, ax=ax,
         )
         trans_ratio = gs_merge - gs_split
 
@@ -432,10 +441,10 @@ def split_merge(key, state: CRPState, data: PackedData, cfg: ModelConfig,
             + gammaln(n_j) + gammaln(n_i)
         )
         if not cfg.beta_prior_uniform:
-            lprior += _beta_prior_sum(cfg, rgs2.params_split) \
-                - _beta_prior_sum(cfg, state.params[ctx.cl_a])
+            lprior += _beta_prior_sum(cfg, rgs2.params_split, ax) \
+                - _beta_prior_sum(cfg, state.params[ctx.cl_a], ax)
 
-        ll_split, ll_all = _ll_sides(ctx, rgs2, state, data)
+        ll_split, ll_all = _ll_sides(ctx, rgs2, state, data, ax)
         ll_ratio = ll_split - ll_all
 
         # Eq. 5 size-proposal ratio (libs/CRP.py:757-764).
@@ -476,8 +485,10 @@ def split_merge(key, state: CRPState, data: PackedData, cfg: ModelConfig,
     # ---------------- merge acceptance (libs/CRP.py:656-665) --------------
     def merge_branch():
         # Forward: one more merge scan with transition probabilities (eq. 16).
-        rgs2, gs_merge = _rg_scan_merge(k_f1, ctx, rgs, state, data, cfg, True)
-        gs_split = _reverse_split_prob(k_f2, ctx, rgs2, state, data, cfg)
+        rgs2, gs_merge = _rg_scan_merge(k_f1, ctx, rgs, state, data, cfg,
+                                        True, ax=ax)
+        gs_split = _reverse_split_prob(k_f2, ctx, rgs2, state, data, cfg,
+                                       ax=ax)
         trans_ratio = gs_split - gs_merge
 
         # Eq. 8 prior ratio over the ORIGINAL clusters (libs/CRP.py:736-754);
@@ -490,9 +501,9 @@ def split_merge(key, state: CRPState, data: PackedData, cfg: ModelConfig,
             - gammaln(n_i) - gammaln(n_j)
         )
         if not cfg.beta_prior_uniform:
-            lprior += _beta_prior_sum(cfg, rgs2.params_merge) \
-                - _beta_prior_sum(cfg, state.params[ctx.cl_a]) \
-                - _beta_prior_sum(cfg, state.params[ctx.cl_b])
+            lprior += _beta_prior_sum(cfg, rgs2.params_merge, ax) \
+                - _beta_prior_sum(cfg, state.params[ctx.cl_a], ax) \
+                - _beta_prior_sum(cfg, state.params[ctx.cl_b], ax)
 
         # Eq. 12 with the original sides under the launch split params.
         idx = jnp.arange(n)
@@ -503,14 +514,14 @@ def split_merge(key, state: CRPState, data: PackedData, cfg: ModelConfig,
         c1s, c0s = lk.log_prob_tables(rgs2.params_split, state.fp, state.fn)
         n1_0, n0_0 = _masked_counts(side0.astype(jnp.float32), data)
         n1_1, n0_1 = _masked_counts(side1.astype(jnp.float32), data)
-        ll_split = (
+        ll_split = ax.psum(
             jnp.sum(n1_0 * c1s[0] + n0_0 * c0s[0])
             + jnp.sum(n1_1 * c1s[1] + n0_1 * c0s[1])
         )
         cells_f = ctx.cells.astype(jnp.float32)
         n1_m, n0_m = _masked_counts(cells_f, data)
         c1m, c0m = lk.log_prob_tables(rgs2.params_merge, state.fp, state.fn)
-        ll_all = jnp.sum(n1_m * c1m + n0_m * c0m)
+        ll_all = ax.psum(jnp.sum(n1_m * c1m + n0_m * c0m))
         ll_ratio = ll_all - ll_split
 
         # Eq. 6 size ratio (libs/CRP.py:767-774); the log(|S| - 1) term is

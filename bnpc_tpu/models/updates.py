@@ -15,10 +15,14 @@ from bnpc_tpu.ops import distributions as dist
 from bnpc_tpu.ops import likelihood as lk
 from bnpc_tpu.ops import mh
 from bnpc_tpu.ops import truncnorm
+from bnpc_tpu.parallel.axis import MutAxis
 from bnpc_tpu.state import CRPState
 
+_NO_AXIS = MutAxis()
 
-def update_parameters(key, state: CRPState, n1, n0, cfg: ModelConfig):
+
+def update_parameters(key, state: CRPState, n1, n0, cfg: ModelConfig,
+                      ax: MutAxis = _NO_AXIS):
     """MH-update every live cluster's parameter row at once.
 
     Reference: update_parameters loops clusters (libs/CRP.py:302-311); the
@@ -29,7 +33,7 @@ def update_parameters(key, state: CRPState, n1, n0, cfg: ModelConfig):
     """
     live = state.cluster_size > 0
     res = mh.mh_cluster_params(
-        key, state.params, n1, n0, state.fp, state.fn, cfg
+        key, state.params, n1, n0, state.fp, state.fn, cfg, ax=ax
     )
     params = jnp.where(live[:, None], res.params, state.params)
     declined = jnp.sum(jnp.where(live, res.declined, 0))
@@ -63,9 +67,9 @@ def update_dp_alpha(key, state: CRPState, cfg: ModelConfig) -> CRPState:
     return state._replace(dp_alpha=alpha)
 
 
-def _full_ll_at_rates(params, n1, n0, fp, fn):
+def _full_ll_at_rates(params, n1, n0, fp, fn, ax=_NO_AXIS):
     c1, c0 = lk.log_prob_tables(params, fp, fn)
-    return lk.ll_from_stats(n1, n0, c1, c0)
+    return lk.ll_from_stats(n1, n0, c1, c0, ax)
 
 
 def _mh_error_rate(key, old, prior_mean, prior_sd, ll_fn):
@@ -92,7 +96,8 @@ def _mh_error_rate(key, old, prior_mean, prior_sd, ll_fn):
     return jnp.where(accept, new, old).astype(jnp.float32), accept
 
 
-def update_error_rates(key, state: CRPState, n1, n0, cfg: ModelConfig):
+def update_error_rates(key, state: CRPState, n1, n0, cfg: ModelConfig,
+                       ax: MutAxis = _NO_AXIS):
     """MH on FP then FN (libs/CRP_learning_errors.py:52-55; FN's likelihood
     sees the freshly updated FP, as in the reference's sequential update).
 
@@ -103,10 +108,10 @@ def update_error_rates(key, state: CRPState, n1, n0, cfg: ModelConfig):
     k_fp, k_fn = jax.random.split(key)
     fp, fp_acc = _mh_error_rate(
         k_fp, state.fp, cfg.fp, cfg.fp_sd,
-        lambda e: _full_ll_at_rates(state.params, n1, n0, e, state.fn),
+        lambda e: _full_ll_at_rates(state.params, n1, n0, e, state.fn, ax),
     )
     fn, fn_acc = _mh_error_rate(
         k_fn, state.fn, cfg.fn, cfg.fn_sd,
-        lambda e: _full_ll_at_rates(state.params, n1, n0, fp, e),
+        lambda e: _full_ll_at_rates(state.params, n1, n0, fp, e, ax),
     )
     return state._replace(fp=fp, fn=fn), fp_acc, fn_acc

@@ -28,6 +28,9 @@ import jax.numpy as jnp
 from bnpc_tpu.config import ModelConfig
 from bnpc_tpu.data import PackedData
 from bnpc_tpu.ops import distributions as dist
+from bnpc_tpu.parallel.axis import MutAxis
+
+_NO_AXIS = MutAxis()
 
 # The log-likelihood accumulations must run in true float32: on TPU the MXU
 # would otherwise use bf16 inputs and lose ~3 decimal digits on sums of
@@ -47,17 +50,17 @@ def log_prob_tables(params, fp, fn):
     return c1, c0
 
 
-def ll_matrix(data: PackedData, c1, c0):
+def ll_matrix(data: PackedData, c1, c0, ax: MutAxis = _NO_AXIS):
     """[n, k_max] log-likelihood of every cell under every slot's parameters."""
-    return _mm(data.xm, c1.T) + _mm(data.xm0, c0.T)
+    return ax.psum(_mm(data.xm, c1.T) + _mm(data.xm0, c0.T))
 
 
-def ll_row(xm_row, xm0_row, c1, c0):
+def ll_row(xm_row, xm0_row, c1, c0, ax: MutAxis = _NO_AXIS):
     """[k] log-likelihood of one cell against all slots (two matvecs)."""
-    return _mm(c1, xm_row) + _mm(c0, xm0_row)
+    return ax.psum(_mm(c1, xm_row) + _mm(c0, xm0_row))
 
 
-def ll_from_stats(n1, n0, c1, c0):
+def ll_from_stats(n1, n0, c1, c0, ax: MutAxis = _NO_AXIS):
     """Total log-likelihood given per-slot sufficient statistics.
 
     Equals the reference's get_ll_full (libs/CRP.py:237-238) when
@@ -65,7 +68,7 @@ def ll_from_stats(n1, n0, c1, c0):
     counted once under its own cluster's parameter row. Free slots contribute
     0 because their statistics are 0.
     """
-    return jnp.sum(n1 * c1 + n0 * c0)
+    return ax.psum(jnp.sum(n1 * c1 + n0 * c0))
 
 
 def ll_per_mut_from_stats(n1_row, n0_row, c1_row, c0_row):
@@ -96,7 +99,8 @@ def crp_new_log_prior(n, alpha):
     return jnp.log(alpha) - jnp.log(n - 1.0 + alpha)
 
 
-def log_prior_full(cfg: ModelConfig, cluster_size, params, dp_alpha, fp, fn):
+def log_prior_full(cfg: ModelConfig, cluster_size, params, dp_alpha, fp, fn,
+                   ax: MutAxis = _NO_AXIS):
     """Joint log-prior (reference: get_lprior_full, libs/CRP.py:241-251 and
     the learning-model override libs/CRP_learning_errors.py:47-49).
     """
@@ -107,8 +111,10 @@ def log_prior_full(cfg: ModelConfig, cluster_size, params, dp_alpha, fp, fn):
         jnp.where(live, crp_size_log_prior(jnp.maximum(cluster_size, 1), n, dp_alpha), 0.0)
     )
     if not cfg.beta_prior_uniform:
-        lpdf = dist.beta_logpdf(params, cfg.p, cfg.q, cfg.log_beta_norm)
-        lp += jnp.sum(jnp.where(live[:, None], lpdf, 0.0))
+        lpdf = ax.apply_mask(
+            dist.beta_logpdf(params, cfg.p, cfg.q, cfg.log_beta_norm)
+        )
+        lp += ax.psum(jnp.sum(jnp.where(live[:, None], lpdf, 0.0)))
     if cfg.learn_errors:
         lp += dist.truncnorm_prior_logpdf(fp, cfg.fp, cfg.fp_sd)
         lp += dist.truncnorm_prior_logpdf(fn, cfg.fn, cfg.fn_sd)

@@ -18,6 +18,9 @@ from bnpc_tpu.config import TMIN, TMAX, ModelConfig
 from bnpc_tpu.ops import likelihood as lk
 from bnpc_tpu.ops import truncnorm
 from bnpc_tpu.ops import distributions as dist
+from bnpc_tpu.parallel.axis import MutAxis
+
+_NO_AXIS = MutAxis()
 
 # MH proposal std-dev multiset (libs/CRP.py:65).
 PARAM_PROPOSAL_SD = jnp.array([0.1, 0.25, 0.5], dtype=jnp.float32)
@@ -64,7 +67,8 @@ def draw_proposal_std(key, shape):
 
 
 def mh_cluster_params(key, params, n1, n0, fp, fn, cfg: ModelConfig,
-                      trans_prob: bool = False) -> MHParamsResult:
+                      trans_prob: bool = False,
+                      ax: MutAxis = _NO_AXIS) -> MHParamsResult:
     """One truncated-normal random-walk MH sweep over every coordinate.
 
     Reference: MH_cluster_params (libs/CRP.py:314-344). `params` may carry any
@@ -75,7 +79,7 @@ def mh_cluster_params(key, params, n1, n0, fp, fn, cfg: ModelConfig,
     min(A, 0), declined ones log(1 - e^A) (libs/CRP.py:340-342, with the
     clip=True path of _get_log_A).
     """
-    k_std, k_prop, k_u = jax.random.split(key, 3)
+    k_std, k_prop, k_u = jax.random.split(ax.fold_key(key), 3)
     std = draw_proposal_std(k_std, params.shape)
     a = (TMIN - params) / std
     b = (TMAX - params) / std
@@ -87,7 +91,9 @@ def mh_cluster_params(key, params, n1, n0, fp, fn, cfg: ModelConfig,
     decline = log_u >= A
 
     new_params = jnp.where(decline, params, proposal)
-    declined = jnp.sum(decline, axis=-1)
+    declined = ax.psum(
+        jnp.sum(ax.apply_mask(decline.astype(jnp.float32)), axis=-1)
+    ).astype(jnp.int32)
 
     if trans_prob:
         contrib = jnp.where(
@@ -95,7 +101,7 @@ def mh_cluster_params(key, params, n1, n0, fp, fn, cfg: ModelConfig,
             jnp.log(-jnp.expm1(jnp.minimum(A, -1e-10))),
             A,
         )
-        trans = jnp.sum(contrib, axis=-1)
+        trans = ax.psum(jnp.sum(ax.apply_mask(contrib), axis=-1))
     else:
         trans = jnp.zeros(params.shape[:-1], dtype=params.dtype)
 
@@ -103,7 +109,7 @@ def mh_cluster_params(key, params, n1, n0, fp, fn, cfg: ModelConfig,
 
 
 def realized_trans_logprob(target, source, n1, n0, a, b, std, fp, fn,
-                           cfg: ModelConfig):
+                           cfg: ModelConfig, ax: MutAxis = _NO_AXIS):
     """Summed log transition probability of an MH sweep moving `source` ->
     `target` per coordinate, treating each coordinate's move as accepted.
 
@@ -112,4 +118,4 @@ def realized_trans_logprob(target, source, n1, n0, a, b, std, fp, fn,
     trans_prob=True) and nansums it.
     """
     A = log_A(target, source, n1, n0, a, b, std, fp, fn, cfg, clip=True)
-    return jnp.sum(A, axis=-1)
+    return ax.psum(jnp.sum(ax.apply_mask(A), axis=-1))

@@ -12,4 +12,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The hosted TPU plugin ignores JAX_PLATFORMS; the config knob does not.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,101 @@
+"""Multi-chip sharding on a virtual 8-device CPU mesh (SURVEY.md section 4,
+item 5): mutation-axis psum correctness and the full sharded MCMC step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from bnpc_tpu.config import MCMCConfig, ModelConfig
+from bnpc_tpu.data import pack_data
+from bnpc_tpu.ops import likelihood as lk
+from bnpc_tpu.parallel import sharded
+from bnpc_tpu.parallel.axis import MutAxis
+from bnpc_tpu.state import init_state
+
+from tests.test_moves import check_state_invariants, make_problem
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_sharded_ll_matrix_matches_unsharded():
+    rng = np.random.default_rng(0)
+    n, m, k = 10, 32, 5
+    data = rng.integers(0, 2, size=(n, m)).astype(float)
+    data[rng.random((n, m)) < 0.2] = np.nan
+    theta = np.clip(rng.random((k, m)), 1e-5, 1 - 1e-5).astype(np.float32)
+
+    packed = pack_data(data)
+    c1, c0 = lk.log_prob_tables(jnp.asarray(theta), 0.01, 0.2)
+    want = np.asarray(lk.ll_matrix(packed, c1, c0))
+
+    mesh = sharded.make_mesh(2, 4)
+
+    def body(data_local, c1_local, c0_local):
+        ax = MutAxis(sharded.MUTS)
+        return lk.ll_matrix(data_local, c1_local, c0_local, ax)
+
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(sharded.data_specs(), P(None, sharded.MUTS),
+                  P(None, sharded.MUTS)),
+        out_specs=P(None, None),
+    ))
+    got = np.asarray(fn(packed, c1, c0))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_sharded_full_step():
+    """Full MCMC step (Gibbs/split-merge + alpha + params + errors) sharded
+    over a 2x4 (chains x muts) mesh; padding path exercised (m=30 -> 32)."""
+    data, _ = make_problem(n=16, m=30, k_clones=2, seed=9)
+    cfg = ModelConfig(n_cells=16, n_muts=30, k_max=16, p=0.25, q=0.25,
+                      fp=0.01, fn=0.2, learn_errors=True,
+                      fp_sd=0.005, fn_sd=0.05)
+    mcmc_cfg = MCMCConfig(sm_prob=0.5, dpa_prob=0.5, error_prob=0.5,
+                          sm_steps=2)
+    packed = pack_data(data)
+
+    mesh = sharded.make_mesh(2, 4)
+    padded, m_pad = sharded.pad_muts(packed, 4)
+    assert m_pad == 32
+
+    block = sharded.make_sharded_block(mesh, cfg, mcmc_cfg, padded)
+
+    n_chains = 4
+    keys = jax.random.split(jax.random.key(0), n_chains)
+    states = jax.vmap(
+        lambda k: init_state(k, cfg, packed, mode="random")
+    )(keys)
+    # Pad parameter columns to the sharded width.
+    states = states._replace(
+        params=jnp.pad(states.params, [(0, 0), (0, 0), (0, m_pad - 30)],
+                       constant_values=0.5)
+    )
+
+    step_keys = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
+    out_states, rows = block(states, step_keys)
+    jax.block_until_ready(out_states)
+
+    ml = np.asarray(rows.ml)
+    assert ml.shape == (n_chains, 3)
+    assert np.isfinite(ml).all()
+    # Chains differ and states remain valid.
+    for c in range(n_chains):
+        single = jax.tree.map(lambda x: np.asarray(x)[c], out_states)
+        from bnpc_tpu.state import CRPState
+        st = CRPState(*[np.asarray(x) for x in single])
+        assignment = st.assignment
+        np.testing.assert_array_equal(
+            np.asarray(st.cluster_size),
+            np.bincount(assignment, minlength=cfg.k_max),
+        )
+    assert not np.array_equal(
+        np.asarray(out_states.assignment[0]),
+        np.asarray(out_states.assignment[1]),
+    )
