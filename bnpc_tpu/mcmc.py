@@ -69,9 +69,16 @@ def _compact_params(state: CRPState, trace_k: int) -> jnp.ndarray:
 
 
 def summarize(state: CRPState, data: PackedData, cfg: ModelConfig,
-              trace_k: int, ax: MutAxis = _NO_AXIS) -> TraceRow:
-    """One trace row for the current state (libs/MCMC.py:242-282)."""
-    n1, n0 = cluster_stats(data, state.assignment, cfg.k_max)
+              trace_k: int, ax: MutAxis = _NO_AXIS, stats=None) -> TraceRow:
+    """One trace row for the current state (libs/MCMC.py:242-282).
+
+    `stats` lets the caller reuse the (n1, n0) sufficient statistics already
+    computed for the parameter update in the same step — they depend only on
+    the assignment, which no longer changes after the assignment moves.
+    """
+    n1, n0 = stats if stats is not None else cluster_stats(
+        data, state.assignment, cfg.k_max
+    )
     c1, c0 = lk.log_prob_tables(state.params, state.fp, state.fn)
     ml = lk.ll_from_stats(n1, n0, c1, c0, ax)
     lprior = lk.log_prior_full(
@@ -155,7 +162,7 @@ def make_step_fn(cfg: ModelConfig, mcmc_cfg: MCMCConfig, data: PackedData,
             )
             counts = counts.at[3:5].add(err_counts)
 
-        row = summarize(state, data, cfg, trace_k, ax)
+        row = summarize(state, data, cfg, trace_k, ax, stats=(n1, n0))
         return state, row._replace(mh_counts=counts)
 
     return step
@@ -242,7 +249,11 @@ class MCMCRunner:
         self.trace_k = resolve_trace_k(cfg, mcmc_cfg)
         self.mesh = mesh
         block = make_block_fn(cfg, mcmc_cfg, data, self.trace_k)
+        # Single-chain runs skip vmap entirely: under vmap lax.cond lowers to
+        # select (both move branches execute every step), roughly doubling
+        # step cost. One chain keeps real branching.
         self._block = jax.jit(jax.vmap(block))
+        self._block_single = jax.jit(block)
         self._summary = jax.jit(
             jax.vmap(lambda st: summarize(st, data, cfg, self.trace_k))
         )
@@ -267,7 +278,13 @@ class MCMCRunner:
             lambda k: jax.random.split(k, n_steps + 1)
         )(keys)
         next_keys = step_keys[:, 0]
-        states, rows = self._block(states, step_keys[:, 1:])
+        if keys.shape[0] == 1:
+            st1 = jax.tree.map(lambda x: x[0], states)
+            st1, rows1 = self._block_single(st1, step_keys[0, 1:])
+            states = jax.tree.map(lambda x: x[None], st1)
+            rows = jax.tree.map(lambda x: x[None], rows1)
+        else:
+            states, rows = self._block(states, step_keys[:, 1:])
         return states, rows, next_keys
 
     # -- top-level run (libs/MCMC.py:79-123) -------------------------------
@@ -331,7 +348,17 @@ class MCMCRunner:
         done = 0
         while done < steps:
             b = min(self.block_size, steps - done)
-            states, rows, keys = self.run_block(states, keys, b)
+            if b == self.block_size:
+                states, rows, keys = self.run_block(states, keys, b)
+            else:
+                # Run a full block to reuse the compiled program; keep only
+                # the first b trace rows (the extra sampled steps are simply
+                # discarded — the chain state intentionally advances past
+                # them, which is statistically immaterial).
+                states, rows, keys = self.run_block(
+                    states, keys, self.block_size
+                )
+                rows = jax.tree.map(lambda x: x[:, :b], rows)
             buf.append(rows)
             done += b
         return self._collect(buf, init_rows, burn_in)

@@ -2,11 +2,21 @@
 
 Reference: update_assignments_Gibbs (libs/CRP.py:254-288). The per-cell order
 dependence (through cluster sizes, occupancy, and clusters born mid-sweep) is
-real, so the sweep stays sequential over a random permutation — but each step
-is two [k_max, m] matvecs plus a masked categorical, and the per-cell
-log-likelihood tables c1/c0 are carried and updated only when a new cluster is
-born (one row). Cluster parameters are fixed within a sweep except for fresh
-Beta-posterior rows of newborn clusters, exactly as in the reference.
+real, so the sweep stays sequential over a random permutation — but the scan
+body is engineered for TPU latency:
+
+  * The full [n, k_max] log-likelihood matrix L is computed ONCE per sweep as
+    two MXU matmuls (parameters are fixed within a sweep except for newborn
+    clusters); the scan body only gathers a row of L.
+  * ALL randomness is hoisted out of the scan: the categorical draw becomes
+    argmax over precomputed per-cell Gumbel noise, and the Beta-posterior
+    parameter rows of potential newborn clusters (libs/CRP.py:183-188) are
+    drawn vectorized for every cell up front — the scan body contains zero
+    threefry invocations.
+  * When a new cluster is actually born (rare), one lax.cond patches the
+    parameter row and refreshes L's column for that slot with a single
+    [n, m] x [m] matvec, so cells later in the permutation see the newborn
+    cluster exactly as in the reference.
 """
 
 from __future__ import annotations
@@ -28,10 +38,9 @@ NEG_INF = -jnp.inf
 def gibbs_sweep(key, state: CRPState, data: PackedData,
                 cfg: ModelConfig, ax: MutAxis = _NO_AXIS) -> CRPState:
     n, k_max = cfg.n_cells, cfg.k_max
-    k_perm, k_scan = jax.random.split(key)
+    k_perm, k_gumbel, k_beta = jax.random.split(key, 3)
 
     perm = jax.random.permutation(k_perm, n)
-    cell_keys = jax.random.split(k_scan, n)
 
     # Per-sweep constants: alpha is fixed within a sweep, so the new-cluster
     # posterior is precomputed for all cells at once (libs/CRP.py:258).
@@ -41,14 +50,21 @@ def gibbs_sweep(key, state: CRPState, data: PackedData,
         + jnp.log(alpha) - log_denom
 
     c1, c0 = lk.log_prob_tables(state.params, state.fp, state.fn)
+    ll0 = lk.ll_matrix(data, c1, c0, ax)  # [n, k_max]
 
-    def step(carry, xs):
-        assignment, params, size, c1, c0 = carry
-        cell, ck = xs
-        k_cat, k_beta = jax.random.split(ck)
+    # Hoisted randomness (identical across mutation shards for the scalar
+    # decisions; per-mutation for the Beta rows).
+    gumbel = jax.random.gumbel(k_gumbel, (n, k_max + 1))
+    fresh = jnp.clip(
+        jax.random.beta(
+            ax.fold_key(k_beta), cfg.p + data.xm, cfg.q + data.xm0
+        ),
+        TMIN, TMAX,
+    ).astype(jnp.float32)  # [n, m] newborn row per cell
+    f1, f0 = lk.log_prob_tables(fresh, state.fp, state.fn)
 
-        xm_row = data.xm[cell]
-        xm0_row = data.xm0[cell]
+    def step(carry, cell):
+        assignment, params, size, ll = carry
 
         # Remove the cell from its cluster (libs/CRP.py:262-266).
         old = assignment[cell]
@@ -56,41 +72,36 @@ def gibbs_sweep(key, state: CRPState, data: PackedData,
         live = size > 0
 
         # Posterior over live slots + the new-cluster option.
-        ll = lk.ll_row(xm_row, xm0_row, c1, c0, ax)
         log_size = jnp.log(jnp.maximum(size, 1).astype(jnp.float32))
-        post_old = jnp.where(live, ll + log_size - log_denom, NEG_INF)
+        post_old = jnp.where(live, ll[cell] + log_size - log_denom, NEG_INF)
         has_free = jnp.any(~live)
         post_new = jnp.where(has_free, new_post[cell], NEG_INF)
         logits = jnp.concatenate([post_old, post_new[None]])
 
-        choice = jax.random.categorical(k_cat, logits)
+        choice = jnp.argmax(logits + gumbel[cell]).astype(jnp.int32)
         is_new = choice == k_max
         free = jnp.argmax(size == 0).astype(jnp.int32)
         target = jnp.where(is_new, free, choice).astype(jnp.int32)
 
-        # Fresh Beta-posterior parameters for a newborn cluster
-        # (init_new_cluster -> _init_cl_params_new, libs/CRP.py:183-188, 291-294).
-        # Drawn unconditionally (cheap, keeps the scan branch-free) and written
-        # to the free slot only when the new-cluster option was selected.
-        fresh = jnp.clip(
-            jax.random.beta(ax.fold_key(k_beta), cfg.p + xm_row,
-                            cfg.q + xm0_row),
-            TMIN, TMAX,
-        ).astype(jnp.float32)
-        row = jnp.where(is_new, fresh, params[free])
-        params = params.at[free].set(row)
-        r1, r0 = lk.log_prob_tables(row, state.fp, state.fn)
-        c1 = c1.at[free].set(r1)
-        c0 = c0.at[free].set(r0)
+        # Newborn cluster: patch the parameter row (a fresh Beta-posterior
+        # draw, libs/CRP.py:291-294) and refresh L's column for this slot so
+        # later cells in the permutation score against it.
+        def birth(params, ll):
+            params = params.at[free].set(fresh[cell])
+            col = lk.ll_row(f1[cell], f0[cell],
+                            data.xm, data.xm0, ax)  # [n]
+            return params, ll.at[:, free].set(col)
+
+        params, ll = jax.lax.cond(
+            is_new, birth, lambda p, l: (p, l), params, ll
+        )
 
         size = size.at[target].add(1)
         assignment = assignment.at[cell].set(target)
-        return (assignment, params, size, c1, c0), None
+        return (assignment, params, size, ll), None
 
-    init = (state.assignment, state.params, state.cluster_size, c1, c0)
-    (assignment, params, size, _, _), _ = jax.lax.scan(
-        step, init, (perm, cell_keys)
-    )
+    init = (state.assignment, state.params, state.cluster_size, ll0)
+    (assignment, params, size, _), _ = jax.lax.scan(step, init, perm)
     return state._replace(
         assignment=assignment, params=params, cluster_size=size
     )

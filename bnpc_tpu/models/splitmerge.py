@@ -211,12 +211,14 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
     chosen log-probabilities) — the sum is only meaningful when `trans_prob`.
     """
     n = cfg.n_cells
-    k_perm, k_scan = jax.random.split(key)
+    k_perm, k_gumbel = jax.random.split(key)
     if random_order:
         order = jax.random.permutation(k_perm, n)
     else:
         order = jnp.arange(n)
-    step_keys = jax.random.split(k_scan, n)
+    # All randomness hoisted: per-cell Gumbel noise replaces the in-scan
+    # categorical draw (identical distribution, zero threefry in the body).
+    gumbel = jax.random.gumbel(k_gumbel, (n, 2))
 
     # Launch params are constant during the scan, so the [n, 2] table is one
     # matmul (reference precomputes it too, libs/CRP.py:610).
@@ -226,25 +228,22 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
     log_denom = jnp.log(ctx.n_move - 1.0 + state.dp_alpha)
     count1_init = jnp.sum(jnp.where(ctx.s_mask, rg, 0)).astype(jnp.float32)
 
-    def body(carry, xs):
+    def body(carry, cell):
         rg, count1, acc = carry
-        cell, kc = xs
         in_s = ctx.s_mask[cell]
         s1 = count1 - jnp.where(in_s, rg[cell], 0).astype(jnp.float32)
         n_j = s1 + 1.0
         n_i = ctx.n_move - s1 - 2.0
         logpost = ll2[cell] + jnp.log(jnp.stack([n_i, n_j])) - log_denom
         logp = _normalize_log2(logpost)
-        draw = jax.random.categorical(kc, logp).astype(jnp.int32)
+        draw = jnp.argmax(logp + gumbel[cell]).astype(jnp.int32)
         new = jnp.where(in_s, draw, rg[cell])
         acc = acc + jnp.where(in_s, logp[draw], 0.0)
         rg = rg.at[cell].set(new)
         count1 = s1 + jnp.where(in_s, new, 0).astype(jnp.float32)
         return (rg, count1, acc), None
 
-    (rg, _, acc), _ = jax.lax.scan(
-        body, (rg, count1_init, 0.0), (order, step_keys)
-    )
+    (rg, _, acc), _ = jax.lax.scan(body, (rg, count1_init, 0.0), order)
     del trans_prob  # acc is always computed; callers ignore it if unwanted
     return rg, acc
 
