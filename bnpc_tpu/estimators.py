@@ -39,8 +39,11 @@ def hamming_dist(geno_pred, geno_true) -> int:
     if pred.shape != true.shape:
         return int(np.count_nonzero(pred.round() != true.T))
     score = int(np.count_nonzero(pred.round() != true))
-    score_t = int(np.count_nonzero(pred.round() != true.T))
-    return min(score, score_t)
+    if pred.shape[0] == pred.shape[1]:
+        # Catch N x N frames that got transposed (libs/utils.py:67-71).
+        score_t = int(np.count_nonzero(pred.round() != true.T))
+        score = min(score, score_t)
+    return score
 
 
 # ---------------------------------------------------------------------------
