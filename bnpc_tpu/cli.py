@@ -149,6 +149,12 @@ def parse_args(argv=None):
                           "Default = min(k_max, 128).")
     tpu.add_argument("--block_size", type=int, default=256,
                      help="MCMC steps executed per device dispatch.")
+    tpu.add_argument("--checkpoint_dir", type=str, default="",
+                     help="Directory for periodic sampler checkpoints; an "
+                          "interrupted steps-mode run resumes from it.")
+    tpu.add_argument("--profile", type=str, default="",
+                     help="Write a jax.profiler trace of the sampling run "
+                          "to this directory (view with TensorBoard).")
 
     return parser.parse_args(argv)
 
@@ -279,16 +285,28 @@ def main(args) -> None:
         args.chains = 1
 
     packed = pack_data(data)
-    runner = MCMCRunner(cfg, mcmc_cfg, packed, block_size=args.block_size)
+    runner = MCMCRunner(
+        cfg, mcmc_cfg, packed, block_size=args.block_size,
+        checkpoint_dir=args.checkpoint_dir or None,
+    )
 
     assign = (
         io.load_assignment_txt(args.fixed_assignment)
         if args.fixed_assignment else None
     )
-    chain_results = runner.run(
-        run_var, args.seed, n_chains=args.chains, assign=assign,
-        verbosity=args.verbosity,
-    )
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            chain_results = runner.run(
+                run_var, args.seed, n_chains=args.chains, assign=assign,
+                verbosity=args.verbosity,
+            )
+    else:
+        chain_results = runner.run(
+            run_var, args.seed, n_chains=args.chains, assign=assign,
+            verbosity=args.verbosity,
+        )
     args.chain_seeds = list(map(int, runner.seeds))
     results = [r.as_dict() for r in chain_results]
     args.time.append(datetime.now())

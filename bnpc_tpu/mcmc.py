@@ -241,13 +241,17 @@ class MCMCRunner:
     """
 
     def __init__(self, cfg: ModelConfig, mcmc_cfg: MCMCConfig,
-                 data: PackedData, block_size: int = 256, mesh=None):
+                 data: PackedData, block_size: int = 256, mesh=None,
+                 checkpoint_dir: str | None = None,
+                 checkpoint_every: int = 4):
         self.cfg = cfg
         self.mcmc_cfg = mcmc_cfg
         self.data = data
         self.block_size = block_size
         self.trace_k = resolve_trace_k(cfg, mcmc_cfg)
         self.mesh = mesh
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
         block = make_block_fn(cfg, mcmc_cfg, data, self.trace_k)
         # Single-chain runs skip vmap entirely: under vmap lax.cond lowers to
         # select (both move branches execute every step), roughly doubling
@@ -304,6 +308,7 @@ class MCMCRunner:
 
         states = self.init_chains(k_init, n_chains, assign=assign)
         keys = jax.random.split(k_run, n_chains)
+        states, keys = self._maybe_shard(states, keys, n_chains)
 
         if isinstance(run_var[0], (int, np.integer)):
             return self._run_steps(states, keys, int(run_var[0]),
@@ -312,6 +317,71 @@ class MCMCRunner:
             return self._run_lugsail(states, keys, float(run_var[0]),
                                      verbosity)
         return self._run_time(states, keys, run_var[0], run_var[1])
+
+    def _maybe_shard(self, states, keys, n_chains: int):
+        """Shard the chain batch axis over the devices (the TPU-native
+        replacement for one-process-per-chain, libs/MCMC.py:113-120)."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        if self.mesh is not None:
+            mesh = self.mesh
+        else:
+            n_dev = len(jax.devices())
+            if n_dev <= 1 or n_chains <= 1:
+                return states, keys
+            mesh = Mesh(np.asarray(jax.devices()), ("chains",))
+        if "chains" not in mesh.axis_names or                 n_chains % mesh.shape["chains"] != 0:
+            return states, keys
+        states = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(
+                mesh, P(*(("chains",) + (None,) * (x.ndim - 1))))),
+            states,
+        )
+        keys = jax.device_put(keys, NamedSharding(mesh, P("chains")))
+        return states, keys
+
+    # -- checkpoint / resume (absent in the reference; SURVEY.md section 5
+    # notes trace+PRNG-key checkpointing is nearly free with a scan carry) --
+
+    def save_checkpoint(self, path, states, keys, buf, done: int,
+                        init_rows: TraceRow | None = None):
+        os_mod = __import__("os")
+        os_mod.makedirs(os_mod.path.dirname(path) or ".", exist_ok=True)
+        rows = buf.concat() if buf.rows else None
+        payload = {
+            "done": np.asarray(done),
+            "key_data": np.asarray(jax.random.key_data(keys)),
+        }
+        for f in states._fields:
+            payload[f"state_{f}"] = np.asarray(getattr(states, f))
+        if init_rows is not None:
+            for f in init_rows._fields:
+                payload[f"init_{f}"] = np.asarray(getattr(init_rows, f))
+        if rows is not None:
+            for f in rows._fields:
+                payload[f"trace_{f}"] = np.asarray(getattr(rows, f))
+        tmp = path + ".tmp.npz"
+        np.savez_compressed(tmp, **payload)
+        os_mod.replace(tmp, path)
+
+    def load_checkpoint(self, path):
+        with np.load(path) as z:
+            done = int(z["done"])
+            keys = jax.random.wrap_key_data(jnp.asarray(z["key_data"]))
+            states = CRPState(**{
+                f: jnp.asarray(z[f"state_{f}"]) for f in CRPState._fields
+            })
+            rows = None
+            if "trace_ml" in z.files:
+                rows = TraceRow(**{
+                    f: z[f"trace_{f}"] for f in TraceRow._fields
+                })
+            init_rows = None
+            if "init_ml" in z.files:
+                init_rows = TraceRow(**{
+                    f: z[f"init_{f}"] for f in TraceRow._fields
+                })
+        return states, keys, rows, done, init_rows
 
     def _collect(self, buf: _TraceBuffer, init_rows: TraceRow, burn_in,
                  psrf=None, cutoff=None) -> list[ChainResult]:
@@ -346,6 +416,18 @@ class MCMCRunner:
         init_rows = self._summary(states)
         buf = _TraceBuffer(keys.shape[0])
         done = 0
+        ckpt_path = None
+        if self.checkpoint_dir:
+            import os as _os
+
+            ckpt_path = _os.path.join(self.checkpoint_dir, "mcmc_state.npz")
+            if _os.path.exists(ckpt_path):
+                states, keys, rows, done, saved_init =                     self.load_checkpoint(ckpt_path)
+                if rows is not None:
+                    buf.append(rows)
+                if saved_init is not None:
+                    init_rows = saved_init
+        blocks_since_ckpt = 0
         while done < steps:
             b = min(self.block_size, steps - done)
             if b == self.block_size:
@@ -361,6 +443,14 @@ class MCMCRunner:
                 rows = jax.tree.map(lambda x: x[:, :b], rows)
             buf.append(rows)
             done += b
+            blocks_since_ckpt += 1
+            if ckpt_path and blocks_since_ckpt >= self.checkpoint_every:
+                self.save_checkpoint(ckpt_path, states, keys, buf, done,
+                                     init_rows)
+                blocks_since_ckpt = 0
+        if ckpt_path:
+            self.save_checkpoint(ckpt_path, states, keys, buf, done,
+                                 init_rows)
         return self._collect(buf, init_rows, burn_in)
 
     def _run_time(self, states, keys, end_time: datetime,
