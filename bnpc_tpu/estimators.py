@@ -18,6 +18,12 @@ from sklearn.metrics import adjusted_rand_score, v_measure_score
 EPSILON = float(np.finfo(np.float64).resolution)
 
 
+def check_beta_params(mean: float, var: float) -> bool:
+    """Whether (mean, var) are attainable by a Beta distribution
+    (reference: libs/utils.py:31-42)."""
+    return mean > 0.5 * (1 - (1 - 4 * var) ** 0.5)
+
+
 # ---------------------------------------------------------------------------
 # Clustering metrics (libs/utils.py:49-72)
 # ---------------------------------------------------------------------------

@@ -1,22 +1,20 @@
-"""Sequential per-cell Gibbs sweep as a lax.scan.
+"""Sequential per-cell Gibbs sweep.
 
 Reference: update_assignments_Gibbs (libs/CRP.py:254-288). The per-cell order
 dependence (through cluster sizes, occupancy, and clusters born mid-sweep) is
-real, so the sweep stays sequential over a random permutation — but the scan
-body is engineered for TPU latency:
+real, so the sweep stays sequential over a random permutation. Two
+implementations share identical hoisted randomness (and therefore produce
+bit-identical results; asserted in tests/test_pallas.py):
 
-  * The full [n, k_max] log-likelihood matrix L is computed ONCE per sweep as
-    two MXU matmuls (parameters are fixed within a sweep except for newborn
-    clusters); the scan body only gathers a row of L.
-  * ALL randomness is hoisted out of the scan: the categorical draw becomes
-    argmax over precomputed per-cell Gumbel noise, and the Beta-posterior
-    parameter rows of potential newborn clusters (libs/CRP.py:183-188) are
-    drawn vectorized for every cell up front — the scan body contains zero
-    threefry invocations.
-  * When a new cluster is actually born (rare), one lax.cond patches the
-    parameter row and refreshes L's column for that slot with a single
-    [n, m] x [m] matvec, so cells later in the permutation see the newborn
-    cluster exactly as in the reference.
+  * ``scan`` — lax.scan with the [n, k_max] likelihood matrix computed once
+    per sweep as MXU matmuls, zero in-scan RNG (categorical via hoisted
+    Gumbel argmax, newborn Beta rows pre-drawn), and a rare lax.cond that
+    patches one likelihood column on cluster birth. Works everywhere,
+    including vmapped chains and mutation-sharded shard_map.
+  * ``pallas`` — the whole sweep fused into ONE TPU kernel
+    (bnpc_tpu/ops/pallas_gibbs.py) with the c1/c0 tables VMEM-resident and
+    double-buffered row DMAs, eliminating the XLA While-loop dispatch
+    overhead that dominates the scan version. Single-chain, unsharded only.
 """
 
 from __future__ import annotations
@@ -35,32 +33,66 @@ _NO_AXIS = MutAxis()
 NEG_INF = -jnp.inf
 
 
-def gibbs_sweep(key, state: CRPState, data: PackedData,
-                cfg: ModelConfig, ax: MutAxis = _NO_AXIS) -> CRPState:
+def _hoisted_randomness(key, state, data, cfg, ax):
+    """Everything random in a sweep, drawn up front (shared by both impls)."""
     n, k_max = cfg.n_cells, cfg.k_max
     k_perm, k_gumbel, k_beta = jax.random.split(key, 3)
-
     perm = jax.random.permutation(k_perm, n)
-
-    # Per-sweep constants: alpha is fixed within a sweep, so the new-cluster
-    # posterior is precomputed for all cells at once (libs/CRP.py:258).
-    alpha = state.dp_alpha
-    log_denom = jnp.log(n - 1.0 + alpha)
-    new_post = lk.new_cluster_ll(data, cfg, state.fp, state.fn) \
-        + jnp.log(alpha) - log_denom
-
-    c1, c0 = lk.log_prob_tables(state.params, state.fp, state.fn)
-    ll0 = lk.ll_matrix(data, c1, c0, ax)  # [n, k_max]
-
-    # Hoisted randomness (identical across mutation shards for the scalar
-    # decisions; per-mutation for the Beta rows).
     gumbel = jax.random.gumbel(k_gumbel, (n, k_max + 1))
     fresh = jnp.clip(
         jax.random.beta(
             ax.fold_key(k_beta), cfg.p + data.xm, cfg.q + data.xm0
         ),
         TMIN, TMAX,
-    ).astype(jnp.float32)  # [n, m] newborn row per cell
+    ).astype(jnp.float32)  # [n, m] newborn row per cell (libs/CRP.py:183-188)
+    return perm, gumbel, fresh
+
+
+def gibbs_sweep(key, state: CRPState, data: PackedData,
+                cfg: ModelConfig, ax: MutAxis = _NO_AXIS,
+                impl: str = "auto", interpret: bool = False) -> CRPState:
+    if impl == "auto":
+        # The fused kernel is bit-identical to the scan (tests/test_pallas.py)
+        # but this image's TPU plugin cannot currently compile Mosaic kernels
+        # (remote-compile service unreachable, local AOT blocked by a libtpu
+        # version mismatch) — opt in explicitly once the toolchain allows.
+        import os
+
+        want_pallas = os.environ.get("BNPC_TPU_PALLAS", "0") == "1"
+        impl = (
+            "pallas"
+            if (want_pallas and not ax.sharded
+                and jax.default_backend() == "tpu")
+            else "scan"
+        )
+
+    perm, gumbel, fresh = _hoisted_randomness(key, state, data, cfg, ax)
+
+    # Per-sweep constants: alpha is fixed within a sweep, so the new-cluster
+    # posterior is precomputed for all cells at once (libs/CRP.py:258).
+    n = cfg.n_cells
+    alpha = state.dp_alpha
+    log_denom = jnp.log(n - 1.0 + alpha)
+    new_post = lk.new_cluster_ll(data, cfg, state.fp, state.fn) \
+        + jnp.log(alpha) - log_denom
+
+    if impl == "pallas":
+        return _pallas_impl(state, data, cfg, perm, gumbel, fresh,
+                            new_post, log_denom, interpret)
+    return _scan_impl(state, data, cfg, ax, perm, gumbel, fresh, new_post,
+                      log_denom)
+
+
+# ---------------------------------------------------------------------------
+# lax.scan implementation
+# ---------------------------------------------------------------------------
+
+
+def _scan_impl(state, data, cfg, ax, perm, gumbel, fresh, new_post,
+               log_denom):
+    n, k_max = cfg.n_cells, cfg.k_max
+    c1, c0 = lk.log_prob_tables(state.params, state.fp, state.fn)
+    ll0 = lk.ll_matrix(data, c1, c0, ax)  # [n, k_max]
     f1, f0 = lk.log_prob_tables(fresh, state.fp, state.fn)
 
     def step(carry, cell):
@@ -85,7 +117,7 @@ def gibbs_sweep(key, state: CRPState, data: PackedData,
 
         # Newborn cluster: patch the parameter row (a fresh Beta-posterior
         # draw, libs/CRP.py:291-294) and refresh L's column for this slot so
-        # later cells in the permutation score against it.
+        # later cells in the permutation see the newborn cluster.
         def birth(params, ll):
             params = params.at[free].set(fresh[cell])
             col = lk.ll_row(f1[cell], f0[cell],
@@ -104,4 +136,53 @@ def gibbs_sweep(key, state: CRPState, data: PackedData,
     (assignment, params, size, _), _ = jax.lax.scan(step, init, perm)
     return state._replace(
         assignment=assignment, params=params, cluster_size=size
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas implementation
+# ---------------------------------------------------------------------------
+
+
+def _pallas_impl(state, data, cfg, perm, gumbel, fresh, new_post, log_denom,
+                 interpret):
+    from bnpc_tpu.ops.pallas_gibbs import _round_up, pallas_sweep
+
+    n, m, k_max = cfg.n_cells, cfg.n_muts, cfg.k_max
+    m_pad = _round_up(m, 128)
+    k_pad = _round_up(k_max, 128)
+
+    def pad_m(x, value=0.0):
+        return jnp.pad(x, [(0, 0), (0, m_pad - m)], constant_values=value)
+
+    xm_p = pad_m(data.xm)[perm]
+    xm0_p = pad_m(data.xm0)[perm]
+    fresh_p = pad_m(fresh, 0.5)[perm]
+    f1, f0 = lk.log_prob_tables(fresh_p, state.fp, state.fn)
+    gum_p = jnp.pad(
+        gumbel[:, :k_max], [(0, 0), (0, k_pad - k_max)]
+    )[perm]
+    aux = (new_post + gumbel[:, k_max])[perm]
+    assign_p = state.assignment[perm]
+
+    sizes = jnp.concatenate([
+        state.cluster_size.astype(jnp.float32),
+        jnp.full((k_pad - k_max,), -1.0, jnp.float32),
+    ])
+    params = jnp.pad(
+        pad_m(state.params, 0.5), [(0, k_pad - k_max), (0, 0)],
+        constant_values=0.5,
+    )
+    c1, c0 = lk.log_prob_tables(params, state.fp, state.fn)
+
+    assign_out, sizes_out, params_out = pallas_sweep(
+        xm_p, xm0_p, gum_p, fresh_p, f1, f0, aux, assign_p,
+        sizes, params, c1, c0, log_denom, interpret=interpret,
+    )
+
+    assignment = state.assignment.at[perm].set(assign_out)
+    return state._replace(
+        assignment=assignment,
+        cluster_size=sizes_out[:k_max].astype(jnp.int32),
+        params=params_out[:k_max, :m],
     )

@@ -228,24 +228,43 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
     log_denom = jnp.log(ctx.n_move - 1.0 + state.dp_alpha)
     count1_init = jnp.sum(jnp.where(ctx.s_mask, rg, 0)).astype(jnp.float32)
 
+    if trans_prob:
+        # Full path: also accumulate the chosen log-probabilities.
+        def body(carry, cell):
+            rg, count1, acc = carry
+            in_s = ctx.s_mask[cell]
+            s1 = count1 - jnp.where(in_s, rg[cell], 0).astype(jnp.float32)
+            n_j = s1 + 1.0
+            n_i = ctx.n_move - s1 - 2.0
+            logpost = ll2[cell] + jnp.log(jnp.stack([n_i, n_j])) - log_denom
+            logp = _normalize_log2(logpost)
+            draw = jnp.argmax(logp + gumbel[cell]).astype(jnp.int32)
+            new = jnp.where(in_s, draw, rg[cell])
+            acc = acc + jnp.where(in_s, logp[draw], 0.0)
+            rg = rg.at[cell].set(new)
+            count1 = s1 + jnp.where(in_s, new, 0).astype(jnp.float32)
+            return (rg, count1, acc), None
+
+        (rg, _, acc), _ = jax.lax.scan(body, (rg, count1_init, 0.0), order)
+        return rg, acc
+
+    # Launch-only path: the Gumbel argmax is invariant to the log-sum-exp
+    # shift, so skip the normalization (and the accumulator) entirely.
     def body(carry, cell):
-        rg, count1, acc = carry
+        rg, count1 = carry
         in_s = ctx.s_mask[cell]
         s1 = count1 - jnp.where(in_s, rg[cell], 0).astype(jnp.float32)
         n_j = s1 + 1.0
         n_i = ctx.n_move - s1 - 2.0
-        logpost = ll2[cell] + jnp.log(jnp.stack([n_i, n_j])) - log_denom
-        logp = _normalize_log2(logpost)
-        draw = jnp.argmax(logp + gumbel[cell]).astype(jnp.int32)
+        logpost = ll2[cell] + jnp.log(jnp.stack([n_i, n_j]))
+        draw = jnp.argmax(logpost + gumbel[cell]).astype(jnp.int32)
         new = jnp.where(in_s, draw, rg[cell])
-        acc = acc + jnp.where(in_s, logp[draw], 0.0)
         rg = rg.at[cell].set(new)
         count1 = s1 + jnp.where(in_s, new, 0).astype(jnp.float32)
-        return (rg, count1, acc), None
+        return (rg, count1), None
 
-    (rg, _, acc), _ = jax.lax.scan(body, (rg, count1_init, 0.0), order)
-    del trans_prob  # acc is always computed; callers ignore it if unwanted
-    return rg, acc
+    (rg, _), _ = jax.lax.scan(body, (rg, count1_init), order)
+    return rg, jnp.float32(0.0)
 
 
 def _rg_scan_split(key, ctx, rgs: _RGState, state, data, cfg,
@@ -341,35 +360,34 @@ def _reverse_split_prob(key, ctx, rgs: _RGState, state, data, cfg,
         state.fp, state.fn, cfg, ax=ax,
     )
 
-    # Assignment reverse probabilities: sequentially force each cell to its
-    # original side under the original cluster parameters.
+    # Assignment reverse probabilities: each movable cell is sequentially
+    # forced to its original side under the original cluster parameters.
+    # Unlike the forward scans there is no sampling, so the count evolution
+    # is deterministic and the whole "scan" collapses to prefix/suffix sums:
+    # at (ascending) position i the side-1 count over S \ {i} is
+    #   sum_{j<i in S} orig[j] + sum_{j>i in S} launch[j].
     orig = jnp.where(state.assignment == ctx.cl_a, 0, 1).astype(jnp.int32)
     c1, c0 = lk.log_prob_tables(
         jnp.stack([target_i, target_j]), state.fp, state.fn
     )
     ll2 = ax.psum(data.xm @ c1.T + data.xm0 @ c0.T)
     log_denom = jnp.log(ctx.n_move - 1.0 + state.dp_alpha)
-    count1_init = jnp.sum(jnp.where(ctx.s_mask, rgs.rg, 0)).astype(jnp.float32)
 
-    def body(carry, cell):
-        rg, count1, acc = carry
-        in_s = ctx.s_mask[cell]
-        s1 = count1 - jnp.where(in_s, rg[cell], 0).astype(jnp.float32)
-        n_j = s1 + 1.0
-        n_i = ctx.n_move - s1 - 2.0
-        logp = _normalize_log2(
-            ll2[cell] + jnp.log(jnp.stack([n_i, n_j])) - log_denom
-        )
-        o = orig[cell]
-        acc = acc + jnp.where(in_s, logp[o], 0.0)
-        new = jnp.where(in_s, o, rg[cell])
-        rg = rg.at[cell].set(new)
-        count1 = s1 + jnp.where(in_s, new, 0).astype(jnp.float32)
-        return (rg, count1, acc), None
-
-    (_, _, prob_assign), _ = jax.lax.scan(
-        body, (rgs.rg, count1_init, 0.0), jnp.arange(cfg.n_cells)
-    )
+    in_s = ctx.s_mask.astype(jnp.float32)
+    orig_in = orig.astype(jnp.float32) * in_s
+    launch_in = rgs.rg.astype(jnp.float32) * in_s
+    prefix_orig = jnp.cumsum(orig_in) - orig_in
+    suffix_launch = jnp.cumsum(launch_in[::-1])[::-1] - launch_in
+    s1 = prefix_orig + suffix_launch
+    n_j = s1 + 1.0
+    n_i = ctx.n_move - s1 - 2.0
+    logpost = (
+        ll2 + jnp.log(jnp.stack([n_i, n_j], axis=1)) - log_denom
+    )  # [n, 2]
+    logp = logpost - jax.scipy.special.logsumexp(logpost, axis=1,
+                                                 keepdims=True)
+    chosen = jnp.take_along_axis(logp, orig[:, None], axis=1)[:, 0]
+    prob_assign = jnp.sum(chosen * in_s)
     return prob_param_i + prob_param_j + prob_assign
 
 

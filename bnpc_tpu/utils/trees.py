@@ -137,6 +137,9 @@ def collapse_cells_on_tree(data_folder, out_file=""):
         from graphviz import render
 
         render("dot", "png", out_file)
-    except ImportError:
+    except Exception:
+        # graphviz or the dot binary may be missing/broken; the .gv file is
+        # the contract, the .png is best-effort (the reference's gv_to_png
+        # has the same failure mode, libs/dpmmIO.py:290-303).
         pass
     return out_file

@@ -15,3 +15,9 @@ import jax  # noqa: E402
 # The hosted TPU plugin ignores JAX_PLATFORMS; the config knob does not.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# The suite is dominated by XLA compile time (full MCMC-step programs);
+# persist compiled executables across runs.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
