@@ -28,6 +28,10 @@ REFERENCE_STEPS_PER_SEC = 0.0885
 def main():
     import jax
 
+    from bnpc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from bnpc_tpu.config import MCMCConfig, ModelConfig
     from bnpc_tpu.data import pack_data
     from bnpc_tpu.mcmc import MCMCRunner

@@ -155,6 +155,10 @@ def parse_args(argv=None):
     tpu.add_argument("--profile", type=str, default="",
                      help="Write a jax.profiler trace of the sampling run "
                           "to this directory (view with TensorBoard).")
+    tpu.add_argument("--coupled_moves", action="store_true", default=False,
+                     help="Share the per-step move-type selection across "
+                          "chains (~2x multi-chain throughput on one chip; "
+                          "chains are then not strictly independent).")
 
     return parser.parse_args(argv)
 
@@ -191,6 +195,7 @@ def build_mcmc_config(args) -> MCMCConfig:
         sm_steps=args.split_merge_steps,
         fix_assign=bool(args.fixed_assignment),
         trace_k=max(args.trace_clusters, 0),
+        coupled_moves=args.coupled_moves,
     )
 
 
@@ -265,6 +270,9 @@ def generate_output(args, results, data_raw, names) -> None:
 
 
 def main(args) -> None:
+    from bnpc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     io.process_sim_folder(args, suffix="")
     data, names = io.load_data(
         args.input, transpose=args.transpose, get_names=True

@@ -132,3 +132,11 @@ class MCMCConfig:
     # recorded step (the reference grows this axis dynamically,
     # libs/MCMC.py:266-282; we use a static cap and compact live slots into it).
     trace_k: int = 0  # 0 -> min(k_max, 64) chosen at runtime
+    # Share the per-step move-type selection across vmapped chains so the
+    # split-merge/Gibbs lax.cond stays a real branch (vmap otherwise lowers
+    # it to select, executing BOTH moves for every chain every step). The
+    # randomness inside each move stays per-chain; only the kernel schedule
+    # is common — each chain's stationary distribution is unchanged, but
+    # chains are no longer strictly independent processes (the reference
+    # draws move types per chain, libs/MCMC.py:320-342). Opt-in.
+    coupled_moves: bool = False

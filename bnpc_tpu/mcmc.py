@@ -178,6 +178,101 @@ def make_block_fn(cfg, mcmc_cfg, data, trace_k, ax: MutAxis = _NO_AXIS):
     return block
 
 
+def make_coupled_step_fn(cfg: ModelConfig, mcmc_cfg: MCMCConfig,
+                         data: PackedData, trace_k: int):
+    """Batched-chain step with a SHARED move-type selection.
+
+    Under plain vmap the per-chain lax.cond of the move mixture lowers to
+    select — every chain executes BOTH the Gibbs sweep and the split-merge
+    every step. Sharing the move-type draw across chains keeps the cond a
+    real branch over the batched operands (see MCMCConfig.coupled_moves);
+    the randomness inside every move remains per-chain.
+    """
+
+    def step(states: CRPState, key):
+        n_chains = states.assignment.shape[0]
+        k_sel, k_move, k_dpa, k_par, k_err = jax.random.split(key, 5)
+        u_sm, u_dpa, u_err = jax.random.uniform(k_sel, (3,))
+        counts = jnp.zeros((n_chains, 5, 2), jnp.int32)
+        move_keys = jax.random.split(k_move, n_chains)
+
+        if not mcmc_cfg.fix_assign:
+            def do_sm(st):
+                return jax.vmap(
+                    lambda k_, s: split_merge(
+                        k_, s, data, cfg,
+                        mcmc_cfg.sm_split_ratio, mcmc_cfg.sm_steps,
+                    )
+                )(move_keys, st)
+
+            def do_gibbs(st):
+                return (
+                    jax.vmap(
+                        lambda k_, s: gibbs_sweep(k_, s, data, cfg)
+                    )(move_keys, st),
+                    jnp.zeros((n_chains, 2, 2), jnp.int32),
+                )
+
+            if mcmc_cfg.sm_prob > 0.0:
+                states, sm_counts = jax.lax.cond(
+                    u_sm < mcmc_cfg.sm_prob, do_sm, do_gibbs, states
+                )
+            else:
+                states, sm_counts = do_gibbs(states)
+            counts = counts.at[:, 1:3].add(sm_counts)
+
+            if mcmc_cfg.dpa_prob > 0.0:
+                dpa_keys = jax.random.split(k_dpa, n_chains)
+                states = jax.lax.cond(
+                    u_dpa < mcmc_cfg.dpa_prob,
+                    lambda st: jax.vmap(
+                        lambda k_, s: update_dp_alpha(k_, s, cfg)
+                    )(dpa_keys, st),
+                    lambda st: st,
+                    states,
+                )
+
+        n1, n0 = jax.vmap(
+            lambda a: cluster_stats(data, a, cfg.k_max)
+        )(states.assignment)
+        par_keys = jax.random.split(k_par, n_chains)
+        states, par_dec, par_acc = jax.vmap(
+            lambda k_, s, a, b: update_parameters(k_, s, a, b, cfg)
+        )(par_keys, states, n1, n0)
+        counts = counts.at[:, 0, 0].add(par_acc.astype(jnp.int32))
+        counts = counts.at[:, 0, 1].add(par_dec.astype(jnp.int32))
+
+        if cfg.learn_errors and mcmc_cfg.error_prob > 0.0:
+            err_keys = jax.random.split(k_err, n_chains)
+
+            def do_err(st):
+                st2, fp_acc, fn_acc = jax.vmap(
+                    lambda k_, s, a, b: update_error_rates(k_, s, a, b, cfg)
+                )(err_keys, st, n1, n0)
+                c = jnp.zeros((n_chains, 2, 2), jnp.int32)
+                c = c.at[:, 0, 0].set(fp_acc.astype(jnp.int32))
+                c = c.at[:, 0, 1].set(1 - fp_acc.astype(jnp.int32))
+                c = c.at[:, 1, 0].set(fn_acc.astype(jnp.int32))
+                c = c.at[:, 1, 1].set(1 - fn_acc.astype(jnp.int32))
+                return st2, c
+
+            states, err_counts = jax.lax.cond(
+                u_err < mcmc_cfg.error_prob,
+                do_err,
+                lambda st: (st, jnp.zeros((n_chains, 2, 2), jnp.int32)),
+                states,
+            )
+            counts = counts.at[:, 3:5].add(err_counts)
+
+        rows = jax.vmap(
+            lambda s, a, b: summarize(s, data, cfg, trace_k,
+                                      stats=(a, b))
+        )(states, n1, n0)
+        return states, rows._replace(mh_counts=counts)
+
+    return step
+
+
 # ---------------------------------------------------------------------------
 # Host-side result containers (structurally the reference's `results` dicts)
 # ---------------------------------------------------------------------------
@@ -255,9 +350,14 @@ class MCMCRunner:
         block = make_block_fn(cfg, mcmc_cfg, data, self.trace_k)
         # Single-chain runs skip vmap entirely: under vmap lax.cond lowers to
         # select (both move branches execute every step), roughly doubling
-        # step cost. One chain keeps real branching.
+        # step cost. One chain keeps real branching; coupled_moves restores
+        # real branching for batched chains too.
         self._block = jax.jit(jax.vmap(block))
         self._block_single = jax.jit(block)
+        coupled = make_coupled_step_fn(cfg, mcmc_cfg, data, self.trace_k)
+        self._block_coupled = jax.jit(
+            lambda states, step_keys: jax.lax.scan(coupled, states, step_keys)
+        )
         self._summary = jax.jit(
             jax.vmap(lambda st: summarize(st, data, cfg, self.trace_k))
         )
@@ -287,6 +387,12 @@ class MCMCRunner:
             st1, rows1 = self._block_single(st1, step_keys[0, 1:])
             states = jax.tree.map(lambda x: x[None], st1)
             rows = jax.tree.map(lambda x: x[None], rows1)
+        elif self.mcmc_cfg.coupled_moves:
+            # One shared key stream drives the move schedule; per-chain
+            # randomness is split from it inside the step.
+            states, rows_sc = self._block_coupled(states, step_keys[0, 1:])
+            # [B, C, ...] -> [C, B, ...]
+            rows = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), rows_sc)
         else:
             states, rows = self._block(states, step_keys[:, 1:])
         return states, rows, next_keys
@@ -295,6 +401,7 @@ class MCMCRunner:
 
     def run(self, run_var, seed: int, n_chains: int = 1, assign=None,
             verbosity: int = 1):
+        self._verbosity = verbosity
         """run_var: (steps:int, burn_in:int) | (end:datetime, bi:datetime) |
         (cutoff:float, 0). Returns list[ChainResult]."""
         if seed is None or seed < 0:
@@ -312,7 +419,7 @@ class MCMCRunner:
 
         if isinstance(run_var[0], (int, np.integer)):
             return self._run_steps(states, keys, int(run_var[0]),
-                                   int(run_var[1]))
+                                   int(run_var[1]))  # noqa: E501
         if isinstance(run_var[0], float):
             return self._run_lugsail(states, keys, float(run_var[0]),
                                      verbosity)
@@ -443,6 +550,8 @@ class MCMCRunner:
                 rows = jax.tree.map(lambda x: x[:, :b], rows)
             buf.append(rows)
             done += b
+            if getattr(self, "_verbosity", 1) > 1:
+                self._print_progress(done, steps, rows)
             blocks_since_ckpt += 1
             if ckpt_path and blocks_since_ckpt >= self.checkpoint_every:
                 self.save_checkpoint(ckpt_path, states, keys, buf, done,
@@ -452,6 +561,20 @@ class MCMCRunner:
             self.save_checkpoint(ckpt_path, states, keys, buf, done,
                                  init_rows)
         return self._collect(buf, init_rows, burn_in)
+
+    def _print_progress(self, done, steps, rows):
+        """Per-block progress + mean MH acceptance (libs/MCMC.py:369-379)."""
+        counts = np.asarray(rows.mh_counts).sum(axis=(0, 1))
+        print(f"\tstep:\t{done} / {steps}\n\t\tmean MH accept. ratio:")
+        from bnpc_tpu import io as _io
+
+        _io.show_mh_acceptance(counts[0], "parameters", 1)
+        if not self.mcmc_cfg.fix_assign:
+            _io.show_mh_acceptance(counts[1], "splits")
+            _io.show_mh_acceptance(counts[2], "merges")
+        if self.cfg.learn_errors:
+            _io.show_mh_acceptance(counts[3], "FP")
+            _io.show_mh_acceptance(counts[4], "FN")
 
     def _run_time(self, states, keys, end_time: datetime,
                   burnin_time: datetime):

@@ -69,3 +69,22 @@ def test_chain_sharding_over_devices():
     assert len(finals) > 1  # chains differ
     for r in results:
         assert np.isfinite(r.ML).all()
+
+
+def test_coupled_moves_multi_chain():
+    """Shared move schedule: chains still valid and distinct."""
+    data, _ = make_problem(n=16, m=16, k_clones=2, seed=6)
+    cfg = ModelConfig(n_cells=16, n_muts=16, k_max=16, p=0.25, q=0.25,
+                      fp=0.01, fn=0.1)
+    mcmc_cfg = MCMCConfig(sm_prob=0.4, dpa_prob=0.5, error_prob=0.0,
+                          sm_steps=2, coupled_moves=True)
+    from bnpc_tpu.data import pack_data as _pack
+
+    runner = MCMCRunner(cfg, mcmc_cfg, _pack(data), block_size=16)
+    results = runner.run((32, 8), seed=13, n_chains=3)
+    assert len(results) == 3
+    for res in results:
+        assert res.ML.shape == (33,)
+        assert np.isfinite(res.ML).all()
+    assert not np.array_equal(results[0].assignments[-1],
+                              results[1].assignments[-1])
