@@ -213,9 +213,24 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
     n = cfg.n_cells
     k_perm, k_gumbel = jax.random.split(key)
     if random_order:
-        order = jax.random.permutation(k_perm, n)
+        base = jax.random.permutation(k_perm, n)
     else:
-        order = jnp.arange(n)
+        base = jnp.arange(n)
+    # Visit the move's cells FIRST (their relative order is still a uniform
+    # random permutation of S — exactly the reference's distribution,
+    # libs/CRP.py:616), then chunk the scan and lax.cond-skip chunks that
+    # contain no movable cell. Typical moves touch one or two clusters, so
+    # the effective trip count is |S| rounded up to a chunk, not n.
+    order = base[jnp.argsort(~ctx.s_mask[base], stable=True)]
+    chunk = min(256, n)
+    n_chunks = -(-n // chunk)
+    # Pad with an anchor id: anchors are never in S, so padding is a no-op.
+    order = jnp.concatenate([
+        order,
+        jnp.full((n_chunks * chunk - n,), ctx.anchor_i, dtype=order.dtype),
+    ]).reshape(n_chunks, chunk)
+    chunk_has = jax.vmap(lambda oc: jnp.any(ctx.s_mask[oc]))(order)
+
     # All randomness hoisted: per-cell Gumbel noise replaces the in-scan
     # categorical draw (identical distribution, zero threefry in the body).
     gumbel = jax.random.gumbel(k_gumbel, (n, 2))
@@ -245,25 +260,40 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
             count1 = s1 + jnp.where(in_s, new, 0).astype(jnp.float32)
             return (rg, count1, acc), None
 
-        (rg, _, acc), _ = jax.lax.scan(body, (rg, count1_init, 0.0), order)
+        carry0 = (rg, count1_init, 0.0)
+    else:
+        # Launch-only path: the Gumbel argmax is invariant to the
+        # log-sum-exp shift, so skip the normalization and the accumulator.
+        def body(carry, cell):
+            rg, count1 = carry
+            in_s = ctx.s_mask[cell]
+            s1 = count1 - jnp.where(in_s, rg[cell], 0).astype(jnp.float32)
+            n_j = s1 + 1.0
+            n_i = ctx.n_move - s1 - 2.0
+            logpost = ll2[cell] + jnp.log(jnp.stack([n_i, n_j]))
+            draw = jnp.argmax(logpost + gumbel[cell]).astype(jnp.int32)
+            new = jnp.where(in_s, draw, rg[cell])
+            rg = rg.at[cell].set(new)
+            count1 = s1 + jnp.where(in_s, new, 0).astype(jnp.float32)
+            return (rg, count1), None
+
+        carry0 = (rg, count1_init)
+
+    def chunk_body(carry, xs):
+        order_chunk, has = xs
+        carry = jax.lax.cond(
+            has,
+            lambda c: jax.lax.scan(body, c, order_chunk)[0],
+            lambda c: c,
+            carry,
+        )
+        return carry, None
+
+    carry, _ = jax.lax.scan(chunk_body, carry0, (order, chunk_has))
+    if trans_prob:
+        rg, _, acc = carry
         return rg, acc
-
-    # Launch-only path: the Gumbel argmax is invariant to the log-sum-exp
-    # shift, so skip the normalization (and the accumulator) entirely.
-    def body(carry, cell):
-        rg, count1 = carry
-        in_s = ctx.s_mask[cell]
-        s1 = count1 - jnp.where(in_s, rg[cell], 0).astype(jnp.float32)
-        n_j = s1 + 1.0
-        n_i = ctx.n_move - s1 - 2.0
-        logpost = ll2[cell] + jnp.log(jnp.stack([n_i, n_j]))
-        draw = jnp.argmax(logpost + gumbel[cell]).astype(jnp.int32)
-        new = jnp.where(in_s, draw, rg[cell])
-        rg = rg.at[cell].set(new)
-        count1 = s1 + jnp.where(in_s, new, 0).astype(jnp.float32)
-        return (rg, count1), None
-
-    (rg, _), _ = jax.lax.scan(body, (rg, count1_init), order)
+    rg, _ = carry
     return rg, jnp.float32(0.0)
 
 
