@@ -338,7 +338,7 @@ class MCMCRunner:
     def __init__(self, cfg: ModelConfig, mcmc_cfg: MCMCConfig,
                  data: PackedData, block_size: int = 256, mesh=None,
                  checkpoint_dir: str | None = None,
-                 checkpoint_every: int = 4):
+                 checkpoint_every: int = 4, chain_exec: str = "auto"):
         self.cfg = cfg
         self.mcmc_cfg = mcmc_cfg
         self.data = data
@@ -347,6 +347,18 @@ class MCMCRunner:
         self.mesh = mesh
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
+        # How to execute a chain batch on a single device: "vmap" batches
+        # them into one program (wins for small problems), "sequential" runs
+        # the single-chain program per chain (wins for large n, where batched
+        # scatter/gather lowering and the [C, n, k] likelihood carries make
+        # the vmapped scan slower than 1 chain). "auto" picks by state size.
+        if chain_exec == "auto":
+            chain_exec = (
+                "sequential"
+                if cfg.n_cells * cfg.k_max >= 600_000 and len(jax.devices()) == 1
+                else "vmap"
+            )
+        self.chain_exec = chain_exec
         block = make_block_fn(cfg, mcmc_cfg, data, self.trace_k)
         # Single-chain runs skip vmap entirely: under vmap lax.cond lowers to
         # select (both move branches execute every step), roughly doubling
@@ -387,12 +399,23 @@ class MCMCRunner:
             st1, rows1 = self._block_single(st1, step_keys[0, 1:])
             states = jax.tree.map(lambda x: x[None], st1)
             rows = jax.tree.map(lambda x: x[None], rows1)
-        elif self.mcmc_cfg.coupled_moves:
+        elif self.mcmc_cfg.coupled_moves and self.chain_exec == "vmap":
             # One shared key stream drives the move schedule; per-chain
             # randomness is split from it inside the step.
             states, rows_sc = self._block_coupled(states, step_keys[0, 1:])
             # [B, C, ...] -> [C, B, ...]
             rows = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), rows_sc)
+        elif self.chain_exec == "sequential":
+            outs = []
+            for c in range(keys.shape[0]):
+                st_c = jax.tree.map(lambda x: x[c], states)
+                outs.append(self._block_single(st_c, step_keys[c, 1:]))
+            states = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[o[0] for o in outs]
+            )
+            rows = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[o[1] for o in outs]
+            )
         else:
             states, rows = self._block(states, step_keys[:, 1:])
         return states, rows, next_keys

@@ -88,3 +88,24 @@ def test_coupled_moves_multi_chain():
         assert np.isfinite(res.ML).all()
     assert not np.array_equal(results[0].assignments[-1],
                               results[1].assignments[-1])
+
+
+def test_sequential_chain_exec_matches_vmap():
+    """Sequential per-chain execution uses the same key streams as the
+    vmapped batch; traces must match."""
+    data, _ = make_problem(n=16, m=16, k_clones=2, seed=8)
+    cfg = ModelConfig(n_cells=16, n_muts=16, k_max=16, p=0.25, q=0.25,
+                      fp=0.01, fn=0.1)
+    mcmc_cfg = MCMCConfig(sm_prob=0.3, dpa_prob=0.5, error_prob=0.0,
+                          sm_steps=2)
+    from bnpc_tpu.data import pack_data as _pack
+
+    packed = _pack(data)
+    r_v = MCMCRunner(cfg, mcmc_cfg, packed, block_size=8, chain_exec="vmap")
+    r_s = MCMCRunner(cfg, mcmc_cfg, packed, block_size=8,
+                     chain_exec="sequential")
+    res_v = r_v.run((16, 4), seed=21, n_chains=2)
+    res_s = r_s.run((16, 4), seed=21, n_chains=2)
+    for a, b in zip(res_v, res_s):
+        np.testing.assert_array_equal(a.assignments, b.assignments)
+        np.testing.assert_allclose(a.ML, b.ML, rtol=1e-5, atol=1e-4)
