@@ -27,7 +27,7 @@ def test_pallas_matches_scan(seed):
     state = init_state(jax.random.key(seed), cfg, packed, mode="random")
     key = jax.random.key(100 + seed)
 
-    out_scan = gibbs_sweep(key, state, packed, cfg, impl="scan")
+    out_scan = gibbs_sweep(key, state, packed, cfg, impl="scan_cond")
     out_pl = gibbs_sweep(key, state, packed, cfg, impl="pallas",
                          interpret=True)
 
@@ -57,3 +57,23 @@ def test_pallas_multiple_sweeps_stay_valid():
         state = gibbs_sweep(jax.random.key(i), state, packed, cfg,
                             impl="pallas", interpret=True)
         check_state_invariants(state, cfg)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dense_matches_cond(seed):
+    """The branch-free dense sweep equals the cond-patching sweep."""
+    data, _ = make_problem(n=24, m=16, k_clones=2, seed=seed)
+    cfg = ModelConfig(n_cells=24, n_muts=16, k_max=24, p=0.25, q=0.25,
+                      fp=0.01, fn=0.1)
+    packed = pack_data(data)
+    state = init_state(jax.random.key(seed), cfg, packed, mode="random")
+    key = jax.random.key(200 + seed)
+    a = gibbs_sweep(key, state, packed, cfg, impl="scan_cond")
+    b = gibbs_sweep(key, state, packed, cfg, impl="scan_dense")
+    np.testing.assert_array_equal(np.asarray(a.assignment),
+                                  np.asarray(b.assignment))
+    np.testing.assert_array_equal(np.asarray(a.cluster_size),
+                                  np.asarray(b.cluster_size))
+    live = np.asarray(a.cluster_size) > 0
+    np.testing.assert_allclose(np.asarray(a.params)[live],
+                               np.asarray(b.params)[live], rtol=1e-6)
