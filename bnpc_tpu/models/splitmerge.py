@@ -283,7 +283,7 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
         order_chunk, has = xs
         carry = jax.lax.cond(
             has,
-            lambda c: jax.lax.scan(body, c, order_chunk)[0],
+            lambda c: jax.lax.scan(body, c, order_chunk, unroll=4)[0],
             lambda c: c,
             carry,
         )
