@@ -274,9 +274,12 @@ def main(args) -> None:
 
     enable_compilation_cache()
     io.process_sim_folder(args, suffix="")
-    data, names = io.load_data(
-        args.input, transpose=args.transpose, get_names=True
-    )
+    try:
+        data, names = io.load_data(
+            args.input, transpose=args.transpose, get_names=True
+        )
+    except FileNotFoundError:
+        raise SystemExit(f"error: input file not found: {args.input}")
     assert data.size > 0, f"Could not read data from file: {args.input}"
 
     cfg = build_model_config(args, data.shape[0], data.shape[1])
