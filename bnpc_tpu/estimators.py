@@ -265,6 +265,12 @@ def _point_chain(result: dict, est: str, data: np.ndarray) -> dict:
 
     assignment = result["assignments"][step].tolist()
     cl_names = np.unique(assignment)
+    if cl_names.size > result["params"].shape[1]:
+        raise ValueError(
+            f"{cl_names.size} live clusters at the {est}-optimal step exceed "
+            f"the parameter-trace capacity {result['params'].shape[1]}; "
+            "re-run with a larger --trace_clusters"
+        )
     geno_rows = result["params"][step_no_bi][np.arange(cl_names.size)]
     geno = pd.DataFrame(geno_rows, index=cl_names).T[assignment]
     fn_geno, fp_geno = _geno_errors(geno, data)
