@@ -236,9 +236,16 @@ def _pool_chains(results: list[dict]) -> dict:
 
 def _posterior_chain(result: dict, data: np.ndarray) -> dict:
     bi = result["burn_in"]
-    assign, geno = consensus_genotypes(
-        result["assignments"][bi:], result["params"][bi:]
-    )
+    assigns = result["assignments"][bi:]
+    # The parameter trace is ALREADY post-burn-in (it is only recorded after
+    # burn-in, libs/MCMC.py:260-282) — align it to the assignment slice
+    # instead of re-slicing by burn_in. (The reference re-slices,
+    # libs/utils.py:228-230, which IndexErrors the single-chains posterior
+    # path whenever burn_in > 0 — a latent defect not reproduced here.)
+    params = result["params"]
+    if params.shape[0] != assigns.shape[0]:
+        params = params[-assigns.shape[0]:]
+    assign, geno = consensus_genotypes(assigns, params)
     fn_geno, fp_geno = _geno_errors(geno, data)
     return {
         "a": _posterior_avg(result["DP_alpha"][bi:]),

@@ -99,3 +99,23 @@ def test_cli_learned_errors_and_plots(tmp_path):
     # Learned-error run: fixed-value fields pruned.
     args_txt = (out_dir / "args.txt").read_text()
     assert "falseNegative_mean" in args_txt
+
+
+@pytest.mark.slow
+def test_cli_single_chains_posterior(tmp_path):
+    """-sc + posterior: the reference's double burn-in slicing IndexErrors
+    here (libs/utils.py:228-230); ours aligns the parameter trace."""
+    write_sim_folder(tmp_path, n=24, m=20, k_clones=2, seed=13)
+    out_dir = tmp_path / "out"
+    args = cli.parse_args([
+        str(tmp_path), "-FP", "0.01", "-FN", "0.1",
+        "-s", "60", "-b", "0.4", "--seed", "3", "-n", "2", "-sc",
+        "-e", "posterior", "-o", str(out_dir), "-v", "0", "-np",
+        "--block_size", "32",
+    ])
+    cli.main(args)
+    ari_df = pd.read_csv(out_dir / "ARI.txt", sep="\t")
+    assert len(ari_df) == 2  # one row per chain
+    assert ari_df["ARI"].max() > 0.8
+    assert (out_dir / "genotypes_posterior_00.tsv").exists()
+    assert (out_dir / "genotypes_posterior_01.tsv").exists()
