@@ -1,0 +1,41 @@
+"""Multi-host (DCN) execution support.
+
+The sampler's communication pattern is ideal for multi-host scaling: chains
+never talk during sampling (SURVEY.md §2.3), so a multi-host mesh simply
+spreads the chain axis across hosts' chips — collectives only appear if the
+mutation axis is also sharded (psum over ICI within each host's slice).
+
+This module is a thin, documented wiring of `jax.distributed`; it cannot be
+exercised in this single-host image (the virtual-device CPU mesh in
+tests/test_sharding.py covers the SPMD program itself, which is identical
+under multi-host execution).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> bool:
+    """Initialize jax.distributed from args or standard env vars.
+
+    Returns True when running multi-process; False for single-host runs
+    (no-op). Call before any other JAX API, then build the mesh over
+    `jax.devices()` as usual — `parallel.sharded.make_mesh` and
+    `MCMCRunner._maybe_shard` work unchanged on the global device list.
+    """
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if coordinator_address is None and num_processes is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count() > 1
