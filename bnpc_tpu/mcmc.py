@@ -424,9 +424,9 @@ class MCMCRunner:
 
     def run(self, run_var, seed: int, n_chains: int = 1, assign=None,
             verbosity: int = 1):
-        self._verbosity = verbosity
         """run_var: (steps:int, burn_in:int) | (end:datetime, bi:datetime) |
         (cutoff:float, 0). Returns list[ChainResult]."""
+        self._verbosity = verbosity
         if seed is None or seed < 0:
             seed = int(np.random.randint(0, 2**31 - 1))
         root = jax.random.key(seed)

@@ -555,7 +555,6 @@ def split_merge(key, state: CRPState, data: PackedData, cfg: ModelConfig,
         # Eq. 12 with the original sides under the launch split params.
         idx = jnp.arange(n)
         orig_rg = jnp.where(state.assignment == ctx.cl_a, 0, 1).astype(jnp.int32)
-        ctx_orig = ctx._replace()
         side0 = (ctx.s_mask & (orig_rg == 0)) | (idx == ctx.anchor_i)
         side1 = (ctx.s_mask & (orig_rg == 1)) | (idx == ctx.anchor_j)
         c1s, c0s = lk.log_prob_tables(rgs2.params_split, state.fp, state.fn)
@@ -599,7 +598,6 @@ def split_merge(key, state: CRPState, data: PackedData, cfg: ModelConfig,
         counts = jnp.zeros((2, 2), jnp.int32).at[1, 0].set(
             accept.astype(jnp.int32)
         ).at[1, 1].set(1 - accept.astype(jnp.int32))
-        del ctx_orig
         return new_state, counts
 
     return jax.lax.cond(is_split, split_branch, merge_branch)
