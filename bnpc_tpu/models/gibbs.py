@@ -2,19 +2,23 @@
 
 Reference: update_assignments_Gibbs (libs/CRP.py:254-288). The per-cell order
 dependence (through cluster sizes, occupancy, and clusters born mid-sweep) is
-real, so the sweep stays sequential over a random permutation. Two
+real, so the sweep stays sequential over a random permutation. Three
 implementations share identical hoisted randomness (and therefore produce
 bit-identical results; asserted in tests/test_pallas.py):
 
-  * ``scan`` — lax.scan with the [n, k_max] likelihood matrix computed once
-    per sweep as MXU matmuls, zero in-scan RNG (categorical via hoisted
-    Gumbel argmax, newborn Beta rows pre-drawn), and a rare lax.cond that
-    patches one likelihood column on cluster birth. Works everywhere,
-    including vmapped chains and mutation-sharded shard_map.
+  * ``scan_cond`` (default) — lax.scan with the [n, k_max] likelihood matrix
+    computed once per sweep as MXU matmuls, zero in-scan RNG (categorical
+    via hoisted Gumbel argmax, newborn Beta rows pre-drawn), and a rare
+    lax.cond that patches one likelihood column on cluster birth. Works
+    everywhere, including vmapped chains and mutation-sharded shard_map.
+  * ``scan_dense`` — branch-free: likelihoods against every potential
+    newborn cluster precomputed as one [n, n] matmul; better shape under
+    vmap, slower single-chain (gather-bound).
   * ``pallas`` — the whole sweep fused into ONE TPU kernel
     (bnpc_tpu/ops/pallas_gibbs.py) with the c1/c0 tables VMEM-resident and
     double-buffered row DMAs, eliminating the XLA While-loop dispatch
-    overhead that dominates the scan version. Single-chain, unsharded only.
+    overhead that dominates the scan versions. Single-chain, unsharded only;
+    env-gated until this image's Mosaic toolchain can compile kernels.
 """
 
 from __future__ import annotations

@@ -80,3 +80,31 @@ def test_homozygous_and_missing_tokens(tmp_path):
     assert data[0, 0] == 1.0 and np.isnan(data[1, 0])
     assert data[2, 1] == 1.0 and np.isnan(data[2, 2])
     assert data[3, 2] == 1.0
+
+
+def test_no_nans_under_debug_nans():
+    """SURVEY.md section 5: the reference uses np.seterr as a sanitizer; the
+    TPU equivalent is jax.debug_nans over the full step (all moves on)."""
+    import jax
+    from bnpc_tpu.mcmc import make_step_fn, resolve_trace_k
+
+    rng = np.random.default_rng(0)
+    n, m = 20, 16
+    geno = rng.integers(0, 2, size=(3, m))
+    a = rng.integers(0, 3, size=n)
+    data = geno[a].astype(float)
+    data[rng.random((n, m)) < 0.1] = np.nan
+    cfg = ModelConfig(n_cells=n, n_muts=m, k_max=n, p=0.25, q=0.25,
+                      fp=0.01, fn=0.2, learn_errors=True,
+                      fp_sd=0.01, fn_sd=0.1)
+    mc = MCMCConfig(sm_prob=0.5, dpa_prob=0.5, error_prob=0.5, sm_steps=2)
+    packed = pack_data(data)
+    st = init_state(jax.random.key(0), cfg, packed, mode="random")
+    step = make_step_fn(cfg, mc, packed, resolve_trace_k(cfg, mc))
+    try:
+        jax.config.update("jax_debug_nans", True)
+        for i in range(4):
+            st, row = step(st, jax.random.key(i))
+        assert np.isfinite(float(row.ml))
+    finally:
+        jax.config.update("jax_debug_nans", False)
