@@ -231,10 +231,11 @@ def _pallas_impl(state, data, cfg, perm, gumbel, fresh, new_post, log_denom,
     def pad_m(x, value=0.0):
         return jnp.pad(x, [(0, 0), (0, m_pad - m)], constant_values=value)
 
-    xm_p = pad_m(data.xm)[perm]
-    xm0_p = pad_m(data.xm0)[perm]
+    # Concatenated data planes / tables along lanes: one MXU matvec per cell.
+    x2_p = jnp.concatenate([pad_m(data.xm), pad_m(data.xm0)], axis=1)[perm]
     fresh_p = pad_m(fresh, 0.5)[perm]
     f1, f0 = lk.log_prob_tables(fresh_p, state.fp, state.fn)
+    ftab_p = jnp.concatenate([f1, f0], axis=1)
     gum_p = jnp.pad(
         gumbel[:, :k_max], [(0, 0), (0, k_pad - k_max)]
     )[perm]
@@ -250,10 +251,11 @@ def _pallas_impl(state, data, cfg, perm, gumbel, fresh, new_post, log_denom,
         constant_values=0.5,
     )
     c1, c0 = lk.log_prob_tables(params, state.fp, state.fn)
+    ctab = jnp.concatenate([c1, c0], axis=1)
 
     assign_out, sizes_out, params_out = pallas_sweep(
-        xm_p, xm0_p, gum_p, fresh_p, f1, f0, aux, assign_p,
-        sizes, params, c1, c0, log_denom, interpret=interpret,
+        x2_p, gum_p, fresh_p, ftab_p, aux, assign_p,
+        sizes, params, ctab, log_denom, interpret=interpret,
     )
 
     assignment = state.assignment.at[perm].set(assign_out)

@@ -1,22 +1,41 @@
 """Fused Pallas TPU kernel for the sequential per-cell Gibbs sweep.
 
 The XLA lax.scan formulation (bnpc_tpu/models/gibbs.py) is latency-bound:
-~15us of While-loop dispatch per cell. This kernel runs the WHOLE sweep in
-one pallas_call with the per-cluster log-probability tables c1/c0 resident in
-VMEM, so each cell iteration is:
+~13us of While-loop dispatch per cell. This kernel runs the WHOLE sweep in
+one pallas_call with the per-cluster log-probability tables VMEM-resident, so
+each cell iteration is:
 
-  * two double-buffered 800 B DMAs (the cell's xm/xm0 rows) + a 1 KB DMA
-    (its Gumbel row) — all read-only, prefetched one iteration ahead;
-  * one [k, m] x [m] MXU matvec for the cell's log-likelihood row;
+  * two double-buffered row DMAs (the cell's concatenated xm|xm0 planes and
+    its Gumbel row) — read-only, prefetched one iteration ahead;
+  * ONE [k, 2m] x [2m] MXU matvec for the cell's log-likelihood row (the c1
+    and c0 tables are concatenated along lanes, matching the xm|xm0 layout);
   * VPU masking/argmax for the CRP-weighted categorical draw;
-  * on a (rare) cluster birth: three [m] DMAs patch the newborn slot's
-    parameter row and its c1/c0 table rows in place.
+  * on a (rare) cluster birth: three direct HBM->VMEM DMAs patch the newborn
+    slot's parameter row and its table row in place.
 
 Semantics are IDENTICAL to the scan implementation given the same hoisted
 randomness (permutation, Gumbel noise, fresh Beta rows): the equivalence is
 asserted in tests/test_pallas.py. Shapes are padded to TPU tiling (m, k to
 multiples of 128); padded mutation columns carry zero data weight and padded
 cluster slots use a size sentinel of -1 (never live, never free).
+
+Mosaic toolchain status (bisected 2026-08-16 on the axon remote compiler,
+which ICEs — "tpu_compile_helper subprocess exit code 1" — on specific
+patterns inside a fori_loop):
+  * mixing an MXU dot result with a value read from a ref that is
+    vector-stored in the loop crashes; staging the dot result through a VMEM
+    scratch fixes it (applied below);
+  * summing TWO dot results crashes — even staged separately; hence the
+    single concatenated matvec (applied below);
+  * vector stores into a ref that feeds a dot crash; newborn rows are
+    patched with DMAs instead (applied below);
+  * REMAINING BLOCKER: any in-loop dot with input OR output wider than one
+    128-lane tile still crashes (probed: [128,256]x[256], [256,128]x[128],
+    and tiled 128-lane partial dots summed via staged reads all ICE). The
+    target configs need [k<=256, 2m<=512], so this kernel cannot compile on
+    the current image; it is validated in interpreter mode
+    (tests/test_pallas.py, bit-identical to the scan implementation) and
+    gated behind BNPC_TPU_PALLAS=1 until the toolchain is fixed.
 """
 
 from __future__ import annotations
@@ -37,58 +56,50 @@ def _round_up(x: int, mult: int) -> int:
 
 def _sweep_kernel(
     # inputs
-    xm_ref,        # [n, m_pad] f32, HBM (rows permuted)
-    xm0_ref,       # [n, m_pad] f32, HBM
+    x2_ref,        # [n, 2*m_pad] f32, HBM (rows permuted; xm | xm0)
     gum_ref,       # [n, k_pad] f32, HBM
     fresh_ref,     # [n, m_pad] f32, HBM — newborn parameter row per cell
-    f1_ref,        # [n, m_pad] f32, HBM — c1 table of fresh rows
-    f0_ref,        # [n, m_pad] f32, HBM — c0 table of fresh rows
+    ftab_ref,      # [n, 2*m_pad] f32, HBM — c1|c0 table rows of fresh rows
     aux_ref,       # [n] f32, SMEM — new-cluster logit incl. its gumbel
-    assign_in_ref,  # [n] i32, SMEM (permuted)
+    assign_in_ref,  # [n] i32, SMEM (permuted; aliased to the output)
     sizes_in_ref,  # [1, k_pad] f32, VMEM (-1 sentinel on padded slots)
     params_in_ref,  # [k_pad, m_pad] f32, VMEM
-    c1_in_ref,     # [k_pad, m_pad] f32, VMEM
-    c0_in_ref,     # [k_pad, m_pad] f32, VMEM
+    ctab_in_ref,   # [k_pad, 2*m_pad] f32, VMEM (c1 | c0)
     log_denom_ref,  # [1, 1] f32, SMEM
     # outputs
     assign_out_ref,  # [n] i32, SMEM
     sizes_out_ref,   # [1, k_pad] f32
     params_out_ref,  # [k_pad, m_pad] f32
     # scratch
-    row_buf,       # [2, 3, m_pad] f32 (slot, {xm, xm0, gum-pad}, lane)
+    row_buf,       # [2, 1, 2*m_pad] f32 double-buffered x2 rows
     gum_buf,       # [2, 1, k_pad] f32
-    birth_buf,     # [3, m_pad] f32 ({fresh, f1, f0})
-    c1_scr,        # [k_pad, m_pad] f32
-    c0_scr,        # [k_pad, m_pad] f32
-    row_sem,       # DMA sems (2, 3)
-    birth_sem,     # DMA sems (3,)
+    ctab_scr,      # [k_pad, 2*m_pad] f32
+    ll_scr,        # [1, k_pad] f32 — MXU-result staging
+    row_sem,       # DMA sems (2, 2)
+    birth_sem,     # DMA sems (2,)
 ):
-    n = xm_ref.shape[0]
+    n = x2_ref.shape[0]
     k_pad = gum_buf.shape[2]
 
-    # Working copies of the mutable state.
-    assign_out_ref[...] = assign_in_ref[...]
+    # Working copies of the mutable state. The assignment input is aliased
+    # to its output buffer (SMEM allows only scalar loads, so no array copy).
+    del assign_in_ref
     sizes_out_ref[...] = sizes_in_ref[...]
     params_out_ref[...] = params_in_ref[...]
-    c1_scr[...] = c1_in_ref[...]
-    c0_scr[...] = c0_in_ref[...]
+    ctab_scr[...] = ctab_in_ref[...]
 
     log_denom = log_denom_ref[0, 0]
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)[0]
 
     def row_dma(slot, i):
         return (
             pltpu.make_async_copy(
-                xm_ref.at[pl.ds(i, 1), :], row_buf.at[slot, pl.ds(0, 1), :],
+                x2_ref.at[pl.ds(i, 1), :], row_buf.at[slot],
                 row_sem.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                xm0_ref.at[pl.ds(i, 1), :], row_buf.at[slot, pl.ds(1, 1), :],
-                row_sem.at[slot, 1],
-            ),
-            pltpu.make_async_copy(
                 gum_ref.at[pl.ds(i, 1), :], gum_buf.at[slot],
-                row_sem.at[slot, 2],
+                row_sem.at[slot, 1],
             ),
         )
 
@@ -108,20 +119,19 @@ def _sweep_kernel(
         for d in row_dma(slot, i):
             d.wait()
 
-        xm_row = row_buf[slot, 0, :]       # [m_pad]
-        xm0_row = row_buf[slot, 1, :]
+        x2_row = row_buf[slot, 0, :]       # [2*m_pad] = xm | xm0
         gum_row = gum_buf[slot, 0, :]      # [k_pad]
 
         # Remove the cell from its cluster (libs/CRP.py:262-266).
         old = assign_out_ref[i]
-        sizes = sizes_out_ref[0, :] - (iota_k[0] == old).astype(jnp.float32)
+        sizes = sizes_out_ref[0, :] - (iota_k == old).astype(jnp.float32)
 
-        # Log-likelihood row: one MXU matvec against the resident tables.
-        ll = (
-            jnp.dot(c1_scr[...], xm_row, preferred_element_type=jnp.float32)
-            + jnp.dot(c0_scr[...], xm0_row,
-                      preferred_element_type=jnp.float32)
-        )  # [k_pad]
+        # Log-likelihood row: ONE MXU matvec against the resident tables,
+        # staged through VMEM (see module docstring).
+        ll_scr[0, :] = jnp.dot(
+            ctab_scr[...], x2_row, preferred_element_type=jnp.float32
+        )
+        ll = ll_scr[0, :]
 
         live = sizes > 0.0
         logits = jnp.where(
@@ -140,25 +150,26 @@ def _sweep_kernel(
         free = jnp.argmax(free_mask.astype(jnp.float32)).astype(jnp.int32)
         target = jnp.where(is_new, free, idx_old)
 
-        # Newborn cluster: patch parameter row + its c1/c0 table rows.
+        # Newborn cluster: patch the parameter row and its table row via
+        # direct HBM -> VMEM DMAs with a dynamic destination row.
         @pl.when(is_new)
         def _():
             dmas = [
                 pltpu.make_async_copy(
-                    src.at[pl.ds(i, 1), :], birth_buf.at[pl.ds(j, 1), :],
+                    src.at[pl.ds(i, 1), :], dst.at[pl.ds(free, 1), :],
                     birth_sem.at[j],
                 )
-                for j, src in enumerate((fresh_ref, f1_ref, f0_ref))
+                for j, (src, dst) in enumerate((
+                    (fresh_ref, params_out_ref),
+                    (ftab_ref, ctab_scr),
+                ))
             ]
             for d in dmas:
                 d.start()
             for d in dmas:
                 d.wait()
-            params_out_ref[pl.ds(free, 1), :] = birth_buf[pl.ds(0, 1), :]
-            c1_scr[pl.ds(free, 1), :] = birth_buf[pl.ds(1, 1), :]
-            c0_scr[pl.ds(free, 1), :] = birth_buf[pl.ds(2, 1), :]
 
-        sizes_out_ref[0, :] = sizes + (iota_k[0] == target).astype(jnp.float32)
+        sizes_out_ref[0, :] = sizes + (iota_k == target).astype(jnp.float32)
         assign_out_ref[i] = target
         return ()
 
@@ -166,18 +177,21 @@ def _sweep_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_sweep(xm_p, xm0_p, gum_p, fresh_p, f1_p, f0_p, aux, assign_p,
-                 sizes, params, c1, c0, log_denom, *, interpret=False):
+def pallas_sweep(x2_p, gum_p, fresh_p, ftab_p, aux, assign_p,
+                 sizes, params, ctab, log_denom, *, interpret=False):
     """Run the fused sweep. All arrays pre-permuted and pre-padded:
 
-    xm_p/xm0_p/fresh_p/f1_p/f0_p: [n, m_pad]; gum_p: [n, k_pad];
+    x2_p: [n, 2*m_pad] (xm | xm0); fresh_p: [n, m_pad];
+    ftab_p: [n, 2*m_pad] (c1|c0 of fresh rows); gum_p: [n, k_pad];
     aux: [n] (new-cluster logit + gumbel); assign_p: [n] i32;
-    sizes: [k_pad] f32 with -1 sentinels; params/c1/c0: [k_pad, m_pad].
+    sizes: [k_pad] f32 with -1 sentinels; params: [k_pad, m_pad];
+    ctab: [k_pad, 2*m_pad] (c1 | c0).
 
     Returns (assignment_p [n] i32, sizes [k_pad] f32, params [k_pad, m_pad]).
     """
-    n, m_pad = xm_p.shape
+    n, m2_pad = x2_p.shape
     k_pad = gum_p.shape[1]
+    m_pad = m2_pad // 2
 
     out = pl.pallas_call(
         _sweep_kernel,
@@ -187,18 +201,15 @@ def pallas_sweep(xm_p, xm0_p, gum_p, fresh_p, f1_p, f0_p, aux, assign_p,
             jax.ShapeDtypeStruct((k_pad, m_pad), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # xm
-            pl.BlockSpec(memory_space=pl.ANY),   # xm0
-            pl.BlockSpec(memory_space=pl.ANY),   # gum
-            pl.BlockSpec(memory_space=pl.ANY),   # fresh
-            pl.BlockSpec(memory_space=pl.ANY),   # f1
-            pl.BlockSpec(memory_space=pl.ANY),   # f0
+            pl.BlockSpec(memory_space=pl.ANY),      # x2
+            pl.BlockSpec(memory_space=pl.ANY),      # gum
+            pl.BlockSpec(memory_space=pl.ANY),      # fresh
+            pl.BlockSpec(memory_space=pl.ANY),      # ftab
             pl.BlockSpec(memory_space=pltpu.SMEM),  # aux
             pl.BlockSpec(memory_space=pltpu.SMEM),  # assign
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sizes
             pl.BlockSpec(memory_space=pltpu.VMEM),  # params
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # c1
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # c0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # ctab
             pl.BlockSpec(memory_space=pltpu.SMEM),  # log_denom
         ],
         out_specs=(
@@ -207,21 +218,21 @@ def pallas_sweep(xm_p, xm0_p, gum_p, fresh_p, f1_p, f0_p, aux, assign_p,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, m_pad), jnp.float32),
+            pltpu.VMEM((2, 1, m2_pad), jnp.float32),
             pltpu.VMEM((2, 1, k_pad), jnp.float32),
-            pltpu.VMEM((3, m_pad), jnp.float32),
-            pltpu.VMEM((k_pad, m_pad), jnp.float32),
-            pltpu.VMEM((k_pad, m_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((k_pad, m2_pad), jnp.float32),
+            pltpu.VMEM((1, k_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
+        input_output_aliases={5: 0},  # assignment: in-place in SMEM
         interpret=interpret,
     )(
-        xm_p, xm0_p, gum_p, fresh_p, f1_p, f0_p,
+        x2_p, gum_p, fresh_p, ftab_p,
         aux.astype(jnp.float32),
         assign_p.astype(jnp.int32),
         sizes[None, :].astype(jnp.float32),
-        params, c1, c0,
+        params, ctab,
         jnp.asarray(log_denom, jnp.float32)[None, None],
     )
     assign_out, sizes_out, params_out = out
