@@ -58,6 +58,11 @@ def run_config(name, n, m, k_clones, missing, n_chains, steps, seed=1):
     steps_per_sec = steps * n_chains / wall
     per_step_secs = wall / steps
 
+    from bnpc_tpu.diagnostics import effective_sample_size
+
+    ml_ess = sum(
+        effective_sample_size(res.ML[res.burn_in:]) for res in results
+    )
     aris = []
     t95 = None
     for res in results:
@@ -79,6 +84,7 @@ def run_config(name, n, m, k_clones, missing, n_chains, steps, seed=1):
         "total_steps_per_sec": round(steps_per_sec, 3),
         "final_ARI": [round(a, 4) for a in aris],
         "time_to_ARI95_secs": None if t95 is None else round(t95, 2),
+        "ML_ESS_per_sec": round(ml_ess / wall, 3),
     }
 
 

@@ -59,3 +59,29 @@ def lugsail_cutoff(e: float, a: float = 0.05) -> float:
     """epsilon -> PSRF cutoff via chi^2 (libs/utils.py:470-472)."""
     m = (4.0 * np.pi * chi2.ppf(1.0 - a, 1)) / (_gamma(0.5) ** 2 * e**2)
     return math.sqrt(1.0 + 1.0 / m)
+
+
+def effective_sample_size(trace) -> float:
+    """ESS via the initial-positive-sequence autocorrelation estimator
+    (Geyer 1992). Not in the reference; complements the lugsail PSRF for
+    throughput-normalized comparisons (ESS/sec)."""
+    x = np.asarray(trace, dtype=float)
+    n = x.size
+    if n < 8:
+        return float(n)
+    x = x - x.mean()
+    var = float(np.dot(x, x)) / n
+    if var == 0:
+        return float(n)
+    # FFT autocorrelation.
+    nfft = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(x, nfft)
+    acf = np.fft.irfft(f * np.conj(f))[:n].real / (n * var)
+    # Sum consecutive pairs until a pair goes non-positive.
+    tau = 1.0
+    for k in range(1, n // 2):
+        pair = acf[2 * k - 1] + acf[2 * k]
+        if pair <= 0:
+            break
+        tau += 2.0 * pair
+    return float(n / max(tau, 1.0))

@@ -89,3 +89,21 @@ def test_point_estimator_picks_best_step():
     assert lat_ml["step"] == steps - 1
     lat_map = estimators.latents_point([result], "MAP", data)[0]
     assert lat_map["step"] == 4  # first post-burn-in step
+
+
+def test_effective_sample_size():
+    rng = np.random.default_rng(0)
+    iid = rng.normal(size=4000)
+    ess_iid = diagnostics.effective_sample_size(iid)
+    assert ess_iid > 2500  # iid -> ESS near n
+
+    # AR(1) with strong correlation -> much smaller ESS.
+    rho, n = 0.95, 4000
+    ar = np.empty(n)
+    ar[0] = 0.0
+    for i in range(1, n):
+        ar[i] = rho * ar[i - 1] + rng.normal()
+    ess_ar = diagnostics.effective_sample_size(ar)
+    # theoretical ESS ~ n (1-rho)/(1+rho) ~ 103
+    assert 20 < ess_ar < 500, ess_ar
+    assert ess_ar < ess_iid / 5
