@@ -619,8 +619,24 @@ class MCMCRunner:
         first = max(10, int(1.0 / (cutoff**2 - 1.0)))
         init_rows = self._summary(states)
         buf = _TraceBuffer(keys.shape[0])
-        states, rows, keys = self.run_block(states, keys, first)
-        buf.append(rows)
+        ckpt_path = None
+        resumed = False
+        if self.checkpoint_dir:
+            import os as _os
+
+            ckpt_path = _os.path.join(self.checkpoint_dir,
+                                      "mcmc_state_lugsail.npz")
+            if _os.path.exists(ckpt_path):
+                states, keys, rows, _, saved_init = \
+                    self.load_checkpoint(ckpt_path)
+                if rows is not None:
+                    buf.append(rows)
+                if saved_init is not None:
+                    init_rows = saved_init
+                resumed = True
+        if not resumed:
+            states, rows, keys = self.run_block(states, keys, first)
+            buf.append(rows)
         psrf_log = []
         while True:
             steps_run = buf.n_steps + 1  # incl. initial row
@@ -637,6 +653,9 @@ class MCMCRunner:
                 break
             states, rows, keys = self.run_block(states, keys, extension)
             buf.append(rows)
+            if ckpt_path:
+                self.save_checkpoint(ckpt_path, states, keys, buf,
+                                     buf.n_steps, init_rows)
         burn_in = (buf.n_steps + 1) // 2 + 1
         return self._collect(buf, init_rows, burn_in, psrf=psrf_log,
                              cutoff=cutoff)

@@ -109,3 +109,23 @@ def test_sequential_chain_exec_matches_vmap():
     for a, b in zip(res_v, res_s):
         np.testing.assert_array_equal(a.assignments, b.assignments)
         np.testing.assert_allclose(a.ML, b.ML, rtol=1e-5, atol=1e-4)
+
+
+def test_lugsail_checkpoint_resume(tmp_path):
+    """Lugsail extension rounds persist state; a fresh runner resumes from
+    the checkpoint instead of restarting from scratch."""
+    ckpt = str(tmp_path / "ck")
+    r1 = _make_runner(ckpt, block_size=16)
+    results = r1.run((1.3, 0), seed=7, n_chains=2, verbosity=0)
+    import os
+
+    ck_file = tmp_path / "ck" / "mcmc_state_lugsail.npz"
+    if ck_file.exists():
+        # At least one extension round happened; a resume continues from
+        # the saved trace length.
+        r2 = _make_runner(ckpt, block_size=16)
+        results2 = r2.run((1.3, 0), seed=7, n_chains=2, verbosity=0)
+        assert results2[0].ML.size >= results[0].ML.size - 200
+    for res in results:
+        assert np.isfinite(res.ML).all()
+        assert res.PSRF
