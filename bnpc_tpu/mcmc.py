@@ -98,8 +98,12 @@ def summarize(state: CRPState, data: PackedData, cfg: ModelConfig,
 
 
 def make_step_fn(cfg: ModelConfig, mcmc_cfg: MCMCConfig, data: PackedData,
-                 trace_k: int, ax: MutAxis = _NO_AXIS):
-    """Build the jittable single-step function (do_step, libs/MCMC.py:320-342)."""
+                 trace_k: int, ax: MutAxis = _NO_AXIS,
+                 gibbs_impl: str = "auto"):
+    """Build the jittable single-step function (do_step, libs/MCMC.py:320-342).
+
+    gibbs_impl="auto_single" selects the fused Pallas sweep on TPU; only
+    valid when the step runs unbatched (not under vmap)."""
 
     def step(state: CRPState, key) -> tuple[CRPState, TraceRow]:
         k_sel, k_assign, k_dpa, k_par, k_err = jax.random.split(key, 5)
@@ -115,7 +119,8 @@ def make_step_fn(cfg: ModelConfig, mcmc_cfg: MCMCConfig, data: PackedData,
 
             def do_gibbs(st):
                 return (
-                    gibbs_sweep(k_assign, st, data, cfg, ax=ax),
+                    gibbs_sweep(k_assign, st, data, cfg, ax=ax,
+                                impl=gibbs_impl),
                     jnp.zeros((2, 2), jnp.int32),
                 )
 
@@ -168,9 +173,10 @@ def make_step_fn(cfg: ModelConfig, mcmc_cfg: MCMCConfig, data: PackedData,
     return step
 
 
-def make_block_fn(cfg, mcmc_cfg, data, trace_k, ax: MutAxis = _NO_AXIS):
+def make_block_fn(cfg, mcmc_cfg, data, trace_k, ax: MutAxis = _NO_AXIS,
+                  gibbs_impl: str = "auto"):
     """scan a block of steps; returns (state, stacked TraceRows)."""
-    step = make_step_fn(cfg, mcmc_cfg, data, trace_k, ax)
+    step = make_step_fn(cfg, mcmc_cfg, data, trace_k, ax, gibbs_impl)
 
     def block(state: CRPState, keys) -> tuple[CRPState, TraceRow]:
         return jax.lax.scan(step, state, keys)
@@ -363,9 +369,11 @@ class MCMCRunner:
         # Single-chain runs skip vmap entirely: under vmap lax.cond lowers to
         # select (both move branches execute every step), roughly doubling
         # step cost. One chain keeps real branching; coupled_moves restores
-        # real branching for batched chains too.
+        # real branching for batched chains too. The unbatched block also
+        # gets the fused Pallas Gibbs sweep on TPU (gibbs.pallas_available).
         self._block = jax.jit(jax.vmap(block))
-        self._block_single = jax.jit(block)
+        self._block_single = jax.jit(make_block_fn(
+            cfg, mcmc_cfg, data, self.trace_k, gibbs_impl="auto_single"))
         coupled = make_coupled_step_fn(cfg, mcmc_cfg, data, self.trace_k)
         self._block_coupled = jax.jit(
             lambda states, step_keys: jax.lax.scan(coupled, states, step_keys)

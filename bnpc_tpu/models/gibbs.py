@@ -14,11 +14,14 @@ bit-identical results; asserted in tests/test_pallas.py):
   * ``scan_dense`` — branch-free: likelihoods against every potential
     newborn cluster precomputed as one [n, n] matmul; better shape under
     vmap, slower single-chain (gather-bound).
-  * ``pallas`` — the whole sweep fused into ONE TPU kernel
-    (bnpc_tpu/ops/pallas_gibbs.py) with the c1/c0 tables VMEM-resident and
-    double-buffered row DMAs, eliminating the XLA While-loop dispatch
-    overhead that dominates the scan versions. Single-chain, unsharded only;
-    env-gated until this image's Mosaic toolchain can compile kernels.
+  * ``pallas`` — the whole sweep fused into ONE dot-free TPU kernel
+    (bnpc_tpu/ops/pallas_gibbs.py): the [n, k_max] and [n, n] likelihood
+    matrices are precomputed as MXU matmuls and kept VMEM-resident, so each
+    cell iteration is pure VPU masking/argmax, eliminating the XLA
+    While-loop dispatch overhead that dominates the scan versions.
+    Unbatched chains on TPU only (the default there via impl="auto_single");
+    bit-identical to the scan in interpreter mode, identical modulo the TPU
+    log approximation (~2e-6) when compiled.
 """
 
 from __future__ import annotations
@@ -52,23 +55,40 @@ def _hoisted_randomness(key, state, data, cfg, ax):
     return perm, gumbel, fresh
 
 
+def pallas_available(cfg: ModelConfig, ax: MutAxis = _NO_AXIS) -> bool:
+    """Whether the fused Pallas sweep can run here: TPU backend, unsharded
+    mutation axis, and the resident V/Gumbel/column buffers fit in VMEM
+    (~16 MB/core; ~3 MB headroom left for Mosaic temporaries)."""
+    import os
+
+    from bnpc_tpu.ops.pallas_gibbs import vmem_budget_bytes
+
+    if os.environ.get("BNPC_TPU_PALLAS", "") == "0":
+        return False
+    return (
+        not ax.sharded
+        and jax.default_backend() == "tpu"
+        and vmem_budget_bytes(cfg.n_cells, cfg.k_max) <= 13 * 1024 * 1024
+    )
+
+
 def gibbs_sweep(key, state: CRPState, data: PackedData,
                 cfg: ModelConfig, ax: MutAxis = _NO_AXIS,
                 impl: str = "auto", interpret: bool = False) -> CRPState:
     if impl == "auto":
-        # The fused kernel is bit-identical to the scan (tests/test_pallas.py)
-        # but this image's TPU plugin cannot currently compile Mosaic kernels
-        # (remote-compile service unreachable, local AOT blocked by a libtpu
-        # version mismatch) — opt in explicitly once the toolchain allows.
+        # Safe-everywhere default (vmapped chains, sharded, CPU). Callers
+        # that run chains unbatched pass impl="auto_single" to get the fused
+        # kernel; BNPC_TPU_PALLAS=1 forces it on here too.
         import os
 
-        want_pallas = os.environ.get("BNPC_TPU_PALLAS", "0") == "1"
         impl = (
             "pallas"
-            if (want_pallas and not ax.sharded
-                and jax.default_backend() == "tpu")
+            if (os.environ.get("BNPC_TPU_PALLAS", "") == "1"
+                and pallas_available(cfg, ax))
             else "scan"
         )
+    elif impl == "auto_single":
+        impl = "pallas" if pallas_available(cfg, ax) else "scan"
 
     perm, gumbel, fresh = _hoisted_randomness(key, state, data, cfg, ax)
 
@@ -227,18 +247,35 @@ def _pallas_impl(state, data, cfg, perm, gumbel, fresh, new_post, log_denom,
     n, m, k_max = cfg.n_cells, cfg.n_muts, cfg.k_max
     m_pad = _round_up(m, 128)
     k_pad = _round_up(k_max, 128)
+    n8 = _round_up(n, 8)  # cell axis must hit the f32 sublane tile
+    nb = _round_up(n, 128) // 128
 
     def pad_m(x, value=0.0):
         return jnp.pad(x, [(0, 0), (0, m_pad - m)], constant_values=value)
 
-    # Concatenated data planes / tables along lanes: one MXU matvec per cell.
-    x2_p = jnp.concatenate([pad_m(data.xm), pad_m(data.xm0)], axis=1)[perm]
-    fresh_p = pad_m(fresh, 0.5)[perm]
+    def pad_n8(x):
+        return jnp.pad(x, [(0, n8 - n), (0, 0)])
+
+    # Everything the sweep can ever need is two big MXU matmuls up front
+    # (the _scan_dense_impl trick): each cell against the current slots,
+    # and each cell against every potential newborn row. Both permuted.
+    xm_p, xm0_p = data.xm[perm], data.xm0[perm]
+    c1, c0 = lk.log_prob_tables(state.params, state.fp, state.fn)
+    ll0_p = pad_n8(jnp.pad(
+        lk.ll_matrix(data, c1, c0)[perm], [(0, 0), (0, k_pad - k_max)]
+    ))  # [n8, k_pad]
+    fresh_p = fresh[perm]
     f1, f0 = lk.log_prob_tables(fresh_p, state.fp, state.fn)
-    ftab_p = jnp.concatenate([f1, f0], axis=1)
-    gum_p = jnp.pad(
+    lf_p = jnp.dot(xm_p, f1.T, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32) \
+        + jnp.dot(xm0_p, f0.T, precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)  # [n, n] cell x birth
+    lf4 = pad_n8(jnp.pad(lf_p, [(0, 0), (0, nb * 128 - n)])) \
+        .reshape(n8, nb, 128).transpose(1, 0, 2)
+
+    gum_p = pad_n8(jnp.pad(
         gumbel[:, :k_max], [(0, 0), (0, k_pad - k_max)]
-    )[perm]
+    )[perm])
     aux = (new_post + gumbel[:, k_max])[perm]
     assign_p = state.assignment[perm]
 
@@ -246,16 +283,15 @@ def _pallas_impl(state, data, cfg, perm, gumbel, fresh, new_post, log_denom,
         state.cluster_size.astype(jnp.float32),
         jnp.full((k_pad - k_max,), -1.0, jnp.float32),
     ])
-    params = jnp.pad(
+    fresh3 = pad_m(fresh_p, 0.5)[:, None, :]
+    params3 = jnp.pad(
         pad_m(state.params, 0.5), [(0, k_pad - k_max), (0, 0)],
         constant_values=0.5,
-    )
-    c1, c0 = lk.log_prob_tables(params, state.fp, state.fn)
-    ctab = jnp.concatenate([c1, c0], axis=1)
+    )[:, None, :]
 
     assign_out, sizes_out, params_out = pallas_sweep(
-        x2_p, gum_p, fresh_p, ftab_p, aux, assign_p,
-        sizes, params, ctab, log_denom, interpret=interpret,
+        ll0_p, gum_p, lf4, fresh3, aux, assign_p,
+        sizes, params3, log_denom, interpret=interpret,
     )
 
     assignment = state.assignment.at[perm].set(assign_out)

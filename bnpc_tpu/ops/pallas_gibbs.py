@@ -1,41 +1,45 @@
-"""Fused Pallas TPU kernel for the sequential per-cell Gibbs sweep.
+"""Fused dot-free Pallas TPU kernel for the sequential per-cell Gibbs sweep.
 
 The XLA lax.scan formulation (bnpc_tpu/models/gibbs.py) is latency-bound:
 ~13us of While-loop dispatch per cell. This kernel runs the WHOLE sweep in
-one pallas_call with the per-cluster log-probability tables VMEM-resident, so
-each cell iteration is:
+one pallas_call with ZERO in-loop matmuls or per-cell DMAs: the two
+likelihood matrices the sweep can ever need are precomputed outside as large
+MXU matmuls (reference semantics: update_assignments_Gibbs,
+libs/CRP.py:254-299):
 
-  * two double-buffered row DMAs (the cell's concatenated xm|xm0 planes and
-    its Gumbel row) — read-only, prefetched one iteration ahead;
-  * ONE [k, 2m] x [2m] MXU matvec for the cell's log-likelihood row (the c1
-    and c0 tables are concatenated along lanes, matching the xm|xm0 layout);
-  * VPU masking/argmax for the CRP-weighted categorical draw;
-  * on a (rare) cluster birth: three direct HBM->VMEM DMAs patch the newborn
-    slot's parameter row and its table row in place.
+  * ``ll0 [n, k_pad]`` — every cell against every current slot's parameters;
+    staged once into a VMEM-resident working matrix ``V``;
+  * ``lf [n, n]`` — every cell against every cell's pre-drawn newborn
+    (Beta-posterior) parameter row, passed as ``lf4 [nb, n, 128]`` blocks so
+    a birth's column patch is a single contiguous leading-dim DMA.
+
+Each cell iteration is then pure VPU work on [1, k_pad] vectors: mask the
+live slots, add the CRP size prior and the hoisted Gumbel row, argmax, and
+update the size/assignment state. On a (rare) cluster birth, the newborn
+slot's V column is patched via one [n, 128] block DMA + a masked-lane merge,
+and its parameter row via one [1, m_pad] HBM->HBM DMA.
 
 Semantics are IDENTICAL to the scan implementation given the same hoisted
-randomness (permutation, Gumbel noise, fresh Beta rows): the equivalence is
-asserted in tests/test_pallas.py. Shapes are padded to TPU tiling (m, k to
-multiples of 128); padded mutation columns carry zero data weight and padded
-cluster slots use a size sentinel of -1 (never live, never free).
+randomness (permutation, Gumbel noise, fresh Beta rows); asserted bit-exactly
+in interpreter mode by tests/test_pallas.py and modulo the TPU log
+approximation (~2e-6 absolute, measured) when compiled — the only divergence
+channel is an argmax flip on a near-tied categorical, which is statistically
+immaterial (both outcomes are valid draws from a negligibly perturbed
+categorical).
 
-Mosaic toolchain status (bisected 2026-08-16 on the axon remote compiler,
-which ICEs — "tpu_compile_helper subprocess exit code 1" — on specific
-patterns inside a fori_loop):
-  * mixing an MXU dot result with a value read from a ref that is
-    vector-stored in the loop crashes; staging the dot result through a VMEM
-    scratch fixes it (applied below);
-  * summing TWO dot results crashes — even staged separately; hence the
-    single concatenated matvec (applied below);
-  * vector stores into a ref that feeds a dot crash; newborn rows are
-    patched with DMAs instead (applied below);
-  * REMAINING BLOCKER: any in-loop dot with input OR output wider than one
-    128-lane tile still crashes (probed: [128,256]x[256], [256,128]x[128],
-    and tiled 128-lane partial dots summed via staged reads all ICE). The
-    target configs need [k<=256, 2m<=512], so this kernel cannot compile on
-    the current image; it is validated in interpreter mode
-    (tests/test_pallas.py, bit-identical to the scan implementation) and
-    gated behind BNPC_TPU_PALLAS=1 until the toolchain is fixed.
+Mosaic compiled-mode landmines (measured on this image, 2026-08-16, and
+designed around):
+  * in-loop dots wider than one 128-lane tile ICE the compiler -> this
+    kernel has no dots at all;
+  * single-row slices of tiled HBM/VMEM arrays are rejected ("slice shape
+    must be aligned to tiling") -> all DMA sources/destinations slice an
+    untiled LEADING dim (lf4 [nb, n, 128], fresh3/params3 [x, 1, m_pad]);
+  * aliased SMEM/HBM outputs do NOT start with the aliased input's contents
+    inside the kernel -> initial values are read from the input refs and
+    copied explicitly;
+  * jnp.argmax tie-breaking differs from XLA (returns a non-first lane) ->
+    the first-free-slot pick uses a masked index-min instead (ties in the
+    Gumbel logits themselves are measure-zero).
 """
 
 from __future__ import annotations
@@ -56,89 +60,61 @@ def _round_up(x: int, mult: int) -> int:
 
 def _sweep_kernel(
     # inputs
-    x2_ref,        # [n, 2*m_pad] f32, HBM (rows permuted; xm | xm0)
-    gum_ref,       # [n, k_pad] f32, HBM
-    fresh_ref,     # [n, m_pad] f32, HBM — newborn parameter row per cell
-    ftab_ref,      # [n, 2*m_pad] f32, HBM — c1|c0 table rows of fresh rows
-    aux_ref,       # [n] f32, SMEM — new-cluster logit incl. its gumbel
-    assign_in_ref,  # [n] i32, SMEM (permuted; aliased to the output)
-    sizes_in_ref,  # [1, k_pad] f32, VMEM (-1 sentinel on padded slots)
-    params_in_ref,  # [k_pad, m_pad] f32, VMEM
-    ctab_in_ref,   # [k_pad, 2*m_pad] f32, VMEM (c1 | c0)
-    log_denom_ref,  # [1, 1] f32, SMEM
+    ll0_ref,        # [n, k_pad] f32, ANY/HBM (rows permuted)
+    gum_ref,        # [n, k_pad] f32, VMEM-resident (rows permuted)
+    lf4_ref,        # [nb, n, 128] f32, ANY/HBM — lf4[b, j, l] = ll(cell j |
+    #                 fresh row of cell b*128+l), both axes permuted
+    fresh3_ref,     # [n, 1, m_pad] f32, ANY/HBM — newborn parameter rows
+    aux_ref,        # [n] f32, SMEM — new-cluster logit incl. its gumbel
+    assign_in_ref,  # [n] i32, SMEM (permuted)
+    sizes_in_ref,   # [1, k_pad] f32, VMEM (-1 sentinel on padded slots)
+    params3_in_ref,  # [k_pad, 1, m_pad] f32, ANY/HBM
+    logden_ref,     # [1, 1] f32, SMEM
     # outputs
     assign_out_ref,  # [n] i32, SMEM
-    sizes_out_ref,   # [1, k_pad] f32
-    params_out_ref,  # [k_pad, m_pad] f32
+    sizes_out_ref,   # [1, k_pad] f32, VMEM
+    params3_out_ref,  # [k_pad, 1, m_pad] f32, ANY/HBM
     # scratch
-    row_buf,       # [2, 1, 2*m_pad] f32 double-buffered x2 rows
-    gum_buf,       # [2, 1, k_pad] f32
-    ctab_scr,      # [k_pad, 2*m_pad] f32
-    ll_scr,        # [1, k_pad] f32 — MXU-result staging
-    row_sem,       # DMA sems (2, 2)
-    birth_sem,     # DMA sems (2,)
+    v_scr,          # [n, k_pad] f32 — the resident working likelihood matrix
+    colblk,         # [n, 128] f32 — birth-column staging block
+    init_sem, pinit_sem, col_sem, prow_sem,
 ):
-    n = x2_ref.shape[0]
-    k_pad = gum_buf.shape[2]
+    # v_scr rows are padded to a sublane multiple; the loop runs over the
+    # real cell count (the SMEM assignment length).
+    n = assign_in_ref.shape[0]
+    k_pad = v_scr.shape[1]
 
-    # Working copies of the mutable state. The assignment input is aliased
-    # to its output buffer (SMEM allows only scalar loads, so no array copy).
-    del assign_in_ref
+    # Stage initial state. Outputs do not start with the inputs' contents
+    # (see module docstring), so V, params, and sizes are copied explicitly.
+    init_dma = pltpu.make_async_copy(ll0_ref, v_scr, init_sem)
+    init_dma.start()
+    pinit_dma = pltpu.make_async_copy(params3_in_ref, params3_out_ref,
+                                      pinit_sem)
+    pinit_dma.start()
     sizes_out_ref[...] = sizes_in_ref[...]
-    params_out_ref[...] = params_in_ref[...]
-    ctab_scr[...] = ctab_in_ref[...]
+    init_dma.wait()
+    pinit_dma.wait()
 
-    log_denom = log_denom_ref[0, 0]
+    log_denom = logden_ref[0, 0]
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)[0]
-
-    def row_dma(slot, i):
-        return (
-            pltpu.make_async_copy(
-                x2_ref.at[pl.ds(i, 1), :], row_buf.at[slot],
-                row_sem.at[slot, 0],
-            ),
-            pltpu.make_async_copy(
-                gum_ref.at[pl.ds(i, 1), :], gum_buf.at[slot],
-                row_sem.at[slot, 1],
-            ),
-        )
-
-    for d in row_dma(0, 0):
-        d.start()
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def body(i, _):
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
-
-        # Prefetch the next cell's rows (read-only, no hazard).
-        @pl.when(i + 1 < n)
-        def _():
-            for d in row_dma(nxt, i + 1):
-                d.start()
-
-        for d in row_dma(slot, i):
-            d.wait()
-
-        x2_row = row_buf[slot, 0, :]       # [2*m_pad] = xm | xm0
-        gum_row = gum_buf[slot, 0, :]      # [k_pad]
-
-        # Remove the cell from its cluster (libs/CRP.py:262-266).
-        old = assign_out_ref[i]
+        # Remove the cell from its cluster (libs/CRP.py:262-266). Each cell
+        # is visited exactly once, so its pre-sweep assignment (input ref)
+        # is its current one.
+        old = assign_in_ref[i]
         sizes = sizes_out_ref[0, :] - (iota_k == old).astype(jnp.float32)
 
-        # Log-likelihood row: ONE MXU matvec against the resident tables,
-        # staged through VMEM (see module docstring).
-        ll_scr[0, :] = jnp.dot(
-            ctab_scr[...], x2_row, preferred_element_type=jnp.float32
-        )
-        ll = ll_scr[0, :]
+        v = v_scr[pl.ds(i, 1), :][0]
+        gum = gum_ref[pl.ds(i, 1), :][0]
 
+        # Posterior over live slots + the new-cluster option.
         live = sizes > 0.0
-        logits = jnp.where(
-            live,
-            ll + jnp.log(jnp.maximum(sizes, 1.0)) - log_denom + gum_row,
-            NEG_INF,
-        )
+        post_old = jnp.where(
+            live, v + jnp.log(jnp.maximum(sizes, 1.0)) - log_denom, NEG_INF)
+        logits = post_old + gum
         best_old = jnp.max(logits)
         idx_old = jnp.argmax(logits).astype(jnp.int32)
 
@@ -146,28 +122,28 @@ def _sweep_kernel(
         has_free = jnp.any(free_mask)
         post_new = jnp.where(has_free, aux_ref[i], NEG_INF)
         is_new = post_new > best_old
-        # Mosaic argmax lowering is float32-only.
-        free = jnp.argmax(free_mask.astype(jnp.float32)).astype(jnp.int32)
+        # First free slot. NOT jnp.argmax(free_mask): Mosaic's argmax does
+        # not return the first tied lane (measured).
+        free = jnp.min(jnp.where(free_mask, iota_k, k_pad)).astype(jnp.int32)
         target = jnp.where(is_new, free, idx_old)
 
-        # Newborn cluster: patch the parameter row and its table row via
-        # direct HBM -> VMEM DMAs with a dynamic destination row.
+        # Newborn cluster: patch the slot's parameter row (HBM->HBM) and its
+        # V column (one contiguous [n, 128] block DMA + masked-lane merge).
         @pl.when(is_new)
         def _():
-            dmas = [
-                pltpu.make_async_copy(
-                    src.at[pl.ds(i, 1), :], dst.at[pl.ds(free, 1), :],
-                    birth_sem.at[j],
-                )
-                for j, (src, dst) in enumerate((
-                    (fresh_ref, params_out_ref),
-                    (ftab_ref, ctab_scr),
-                ))
-            ]
-            for d in dmas:
-                d.start()
-            for d in dmas:
-                d.wait()
+            bi = jax.lax.div(i, 128)
+            lane = jax.lax.rem(i, 128)
+            col_dma = pltpu.make_async_copy(lf4_ref.at[bi], colblk, col_sem)
+            col_dma.start()
+            prow_dma = pltpu.make_async_copy(
+                fresh3_ref.at[i], params3_out_ref.at[free], prow_sem)
+            prow_dma.start()
+            col_dma.wait()
+            col = jnp.sum(
+                colblk[...] * (lane128 == lane).astype(jnp.float32),
+                axis=1, keepdims=True)                       # [n, 1]
+            v_scr[...] = jnp.where(lane_iota == free, col, v_scr[...])
+            prow_dma.wait()
 
         sizes_out_ref[0, :] = sizes + (iota_k == target).astype(jnp.float32)
         assign_out_ref[i] = target
@@ -177,63 +153,67 @@ def _sweep_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_sweep(x2_p, gum_p, fresh_p, ftab_p, aux, assign_p,
-                 sizes, params, ctab, log_denom, *, interpret=False):
+def pallas_sweep(ll0_p, gum_p, lf4, fresh3, aux, assign_p, sizes, params3,
+                 log_denom, *, interpret=False):
     """Run the fused sweep. All arrays pre-permuted and pre-padded:
 
-    x2_p: [n, 2*m_pad] (xm | xm0); fresh_p: [n, m_pad];
-    ftab_p: [n, 2*m_pad] (c1|c0 of fresh rows); gum_p: [n, k_pad];
-    aux: [n] (new-cluster logit + gumbel); assign_p: [n] i32;
-    sizes: [k_pad] f32 with -1 sentinels; params: [k_pad, m_pad];
-    ctab: [k_pad, 2*m_pad] (c1 | c0).
+    ll0_p: [n8, k_pad]; gum_p: [n8, k_pad]; lf4: [nb, n8, 128] (see
+    kernel) where n8 = n rounded up to the f32 sublane tile (8);
+    fresh3: [n, 1, m_pad]; aux: [n] (new-cluster logit + gumbel);
+    assign_p: [n] i32; sizes: [k_pad] f32 with -1 sentinels;
+    params3: [k_pad, 1, m_pad].
 
     Returns (assignment_p [n] i32, sizes [k_pad] f32, params [k_pad, m_pad]).
     """
-    n, m2_pad = x2_p.shape
-    k_pad = gum_p.shape[1]
-    m_pad = m2_pad // 2
+    n_pad8, k_pad = ll0_p.shape
+    n = assign_p.shape[0]
+    m_pad = fresh3.shape[2]
 
     out = pl.pallas_call(
         _sweep_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((n,), jnp.int32),
             jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((k_pad, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((k_pad, 1, m_pad), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # x2
-            pl.BlockSpec(memory_space=pl.ANY),      # gum
-            pl.BlockSpec(memory_space=pl.ANY),      # fresh
-            pl.BlockSpec(memory_space=pl.ANY),      # ftab
+            pl.BlockSpec(memory_space=pl.ANY),      # ll0
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gum
+            pl.BlockSpec(memory_space=pl.ANY),      # lf4
+            pl.BlockSpec(memory_space=pl.ANY),      # fresh3
             pl.BlockSpec(memory_space=pltpu.SMEM),  # aux
             pl.BlockSpec(memory_space=pltpu.SMEM),  # assign
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sizes
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # params
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # ctab
+            pl.BlockSpec(memory_space=pl.ANY),      # params3
             pl.BlockSpec(memory_space=pltpu.SMEM),  # log_denom
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, m2_pad), jnp.float32),
-            pltpu.VMEM((2, 1, k_pad), jnp.float32),
-            pltpu.VMEM((k_pad, m2_pad), jnp.float32),
-            pltpu.VMEM((1, k_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_pad8, k_pad), jnp.float32),
+            pltpu.VMEM((n_pad8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
         ],
-        input_output_aliases={5: 0},  # assignment: in-place in SMEM
         interpret=interpret,
     )(
-        x2_p, gum_p, fresh_p, ftab_p,
+        ll0_p, gum_p, lf4, fresh3,
         aux.astype(jnp.float32),
         assign_p.astype(jnp.int32),
         sizes[None, :].astype(jnp.float32),
-        params, ctab,
+        params3,
         jnp.asarray(log_denom, jnp.float32)[None, None],
     )
-    assign_out, sizes_out, params_out = out
-    return assign_out, sizes_out[0], params_out
+    assign_out, sizes_out, params3_out = out
+    return assign_out, sizes_out[0], params3_out[:, 0, :]
+
+
+def vmem_budget_bytes(n: int, k_max: int) -> int:
+    """VMEM the kernel needs resident (V + gumbel + colblk), in bytes."""
+    k_pad = _round_up(k_max, 128)
+    return 4 * (2 * n * k_pad + n * 128)
