@@ -57,12 +57,12 @@ def hamming_dist(geno_pred, geno_true) -> int:
 # ---------------------------------------------------------------------------
 
 
-def coclustering_similarity(assignments: np.ndarray,
-                            chunk: int = 64) -> np.ndarray:
-    """[n, n] mean posterior co-clustering indicator.
+def _coclustering_device(assignments: np.ndarray, chunk: int = 64):
+    """Device-array [n, n] mean posterior co-clustering indicator.
 
-    Device-accelerated equivalent of 1 - get_dist (libs/utils.py:90-97):
-    sim[i, j] = fraction of posterior samples assigning i and j together.
+    Accumulates ON the device across step chunks — a single [n, n] result
+    crosses the host boundary (the per-chunk transfer of the previous
+    version dominated wall-clock over the tunneled TPU link).
     """
     import jax
     import jax.numpy as jnp
@@ -71,14 +71,25 @@ def coclustering_similarity(assignments: np.ndarray,
     steps, n = a.shape
 
     @jax.jit
-    def acc(block):
+    def acc(total, block):
         eq = block[:, :, None] == block[:, None, :]
-        return jnp.sum(eq, axis=0, dtype=jnp.float32)
+        return total + jnp.sum(eq, axis=0, dtype=jnp.float32)
 
-    total = np.zeros((n, n), dtype=np.float64)
+    total = jnp.zeros((n, n), dtype=jnp.float32)
     for s in range(0, steps, chunk):
-        total += np.asarray(acc(jnp.asarray(a[s:s + chunk])))
+        total = acc(total, jnp.asarray(a[s:s + chunk]))
     return total / steps
+
+
+def coclustering_similarity(assignments: np.ndarray,
+                            chunk: int = 64) -> np.ndarray:
+    """[n, n] mean posterior co-clustering indicator.
+
+    Device-accelerated equivalent of 1 - get_dist (libs/utils.py:90-97):
+    sim[i, j] = fraction of posterior samples assigning i and j together.
+    """
+    return np.asarray(_coclustering_device(assignments, chunk)) \
+        .astype(np.float64)
 
 
 def mean_hamming_condensed(assignments: np.ndarray) -> np.ndarray:
@@ -108,11 +119,60 @@ def _mpear_score(pi_condensed: np.ndarray, clusters: np.ndarray) -> float:
     return (index - expected) / denom
 
 
+def _mpear_scores_batch(sim_dev, sim_host: np.ndarray,
+                        labels: np.ndarray) -> np.ndarray:
+    """MPEAR score for every column of `labels` [n, n_k].
+
+    Same math as _mpear_score, reorganized for the MXU: with PI the full
+    similarity matrix (unit diagonal) and M the one-hot cluster-membership
+    matrix of a cut, index = (sum_c m_c^T PI m_c - n) / 2. The n x n @ n x K
+    product runs on the device; the final size-n_c reductions run in f64 on
+    the host (f32 accumulation of ~n^2 unit-scale terms would lose the
+    between-k score differences).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n, n_k = labels.shape
+    k_hi = int(labels.max()) + 1
+
+    @jax.jit
+    def row_terms(labs):                       # labs: [n_k, n]
+        def one(lab):
+            m = jax.nn.one_hot(lab, k_hi, dtype=jnp.float32)   # [n, k_hi]
+            pim = jnp.dot(sim_dev, m, precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+            return jnp.take_along_axis(pim, lab[:, None], axis=1)[:, 0]
+
+        return jax.vmap(one)(labs)             # [n_k, n]
+
+    terms = np.asarray(
+        row_terms(jnp.asarray(labels.T)), dtype=np.float64
+    )
+    # pi_sum over i<j (condensed form): exclude the unit diagonal.
+    pi_sum = (float(sim_host.sum()) - n) / 2.0
+    pairs = float(binom(n, 2))
+
+    scores = np.empty(n_k)
+    for j in range(n_k):
+        quad = float(terms[j].sum())           # = sum_c m_c^T PI m_c
+        index = (quad - n) / 2.0
+        sizes = np.bincount(labels[:, j])
+        i_sum = float(((sizes.astype(np.float64) ** 2).sum() - n) / 2.0)
+        expected = (i_sum * pi_sum) / pairs
+        max_index = 0.5 * (i_sum + pi_sum)
+        denom = max_index - expected
+        scores[j] = -np.inf if denom == 0 else (index - expected) / denom
+    return scores
+
+
 def mpear_assignment(assignments: np.ndarray) -> np.ndarray:
     """Consensus assignment maximizing MPEAR over a Ward-linkage scan
     (libs/utils.py:100-129)."""
-    dist = mean_hamming_condensed(assignments)
-    sim = 1.0 - dist
+    sim_dev = _coclustering_device(assignments)
+    # Transfer as f32 (half the bytes over a tunneled TPU link), widen on host.
+    sim = np.asarray(sim_dev).astype(np.float64)
+    dist = squareform(1.0 - sim, checks=False)
     z = linkage(dist, method="ward")
 
     # Average number of non-trivial clusters (size > 2) per sample.
@@ -128,13 +188,10 @@ def mpear_assignment(assignments: np.ndarray) -> np.ndarray:
     if n_range.size == 0:
         n_range = np.array([max(2, min(int(avg) or 2, assignments.shape[1]))])
 
-    best_score, best = -np.inf, None
-    for k in n_range:
-        clusters = cut_tree(z, n_clusters=int(k)).flatten()
-        score = _mpear_score(sim, clusters)
-        if score > best_score:
-            best_score, best = score, clusters
-    return best
+    # One tree traversal for every candidate K, then batched device scoring.
+    labels = cut_tree(z, n_clusters=n_range)                 # [n, n_k]
+    scores = _mpear_scores_batch(sim_dev, sim, labels)
+    return labels[:, int(np.argmax(scores))]
 
 
 # ---------------------------------------------------------------------------
@@ -149,47 +206,70 @@ def consensus_genotypes(assignments: np.ndarray, params_full: np.ndarray):
     posterior samples in which (criterion 1) all its cells share one sampled
     cluster and, preferably, (criterion 2) no outside cell shares it; fall
     back to a membership-weighted average over all samples.
+
+    Fully vectorized over the steps axis (the reference loops steps and
+    bincounts per (step, cluster), libs/utils.py:146-192 — O(steps*K*n)
+    host Python): sampled-id presence/count matrices are built once by
+    scatter-adds, the compacted parameter-row rank of id v at step s is a
+    prefix count of present smaller ids, and both criteria reduce to boolean
+    array lookups.
     """
-    steps = assignments.shape[0]
-    assign = mpear_assignment(assignments)
+    steps, n_cells = assignments.shape
+    a = np.asarray(assignments)
+    assign = mpear_assignment(a)
     clusters = np.unique(assign)
+
+    k_ids = int(a.max()) + 1
+    rows = np.arange(steps)[:, None]
+    # present[s, v]: sampled id v occupied at step s; rank[s, v]: its row
+    # index in the compacted parameter trace (= # of smaller present ids).
+    present = np.zeros((steps, k_ids), dtype=bool)
+    present[rows, a] = True
+    rank = np.cumsum(present, axis=1) - 1
+
+    capacity = params_full.shape[1]
+    n_live_max = int(present.sum(axis=1).max())
+    if n_live_max > capacity:
+        raise ValueError(
+            f"{n_live_max} live clusters in a posterior sample exceed the "
+            f"parameter-trace capacity {capacity}; re-run with a larger "
+            "--trace_clusters"
+        )
 
     params = np.zeros((clusters.size, params_full.shape[2]))
     for ci, cluster in enumerate(clusters):
         member = assign == cluster
-        cells = np.nonzero(member)[0]
-        others = np.nonzero(~member)[0]
+        sub = a[:, member]                                # [steps, |cells|]
+        same_cluster = (sub == sub[:, :1]).all(axis=1)
 
-        sub = assignments[:, cells]                       # [steps, |cells|]
-        if cells.size == 1:
-            same_cluster = np.ones(steps, dtype=bool)
-        else:
-            same_cluster = (sub == sub[:, [0]]).all(axis=1)
+        # Majority sampled id of the cells (ties -> lowest id, as the
+        # reference's bincount argmax).
+        counts = np.zeros((steps, k_ids), dtype=np.int32)
+        np.add.at(counts, (np.broadcast_to(rows, sub.shape), sub), 1)
+        cl_ids = counts.argmax(axis=1)
 
-        # Majority sampled id of the cells (ties -> lowest id, as bincount).
-        cl_ids = np.array([np.argmax(np.bincount(row)) for row in sub])
-        other_ids = assignments[:, others]
-        no_others = np.array([
-            cl_ids[s] not in other_ids[s] for s in range(steps)
-        ])
+        others_present = np.zeros((steps, k_ids), dtype=bool)
+        others_present[np.broadcast_to(rows, (steps, n_cells - sub.shape[1])),
+                       a[:, ~member]] = True
+        no_others = ~others_present[rows[:, 0], cl_ids]
 
         if same_cluster.any():
             use = same_cluster & no_others
             step_idx = np.nonzero(use if use.any() else same_cluster)[0]
-            for s in step_idx:
-                all_ids = np.sort(
-                    np.append(np.unique(other_ids[s]), cl_ids[s])
-                )
-                rank = int(np.searchsorted(all_ids, cl_ids[s]))
-                params[ci] += params_full[s][rank]
-            params[ci] /= step_idx.size
+            ranks = rank[step_idx, cl_ids[step_idx]]
+            params[ci] = params_full[step_idx, ranks].mean(axis=0)
         else:
-            for s in range(steps):
-                ids_all = np.unique(assignments[s])
-                ids_here, cnt = np.unique(sub[s], return_counts=True)
-                ranks = np.nonzero(np.isin(ids_all, ids_here))[0]
-                params[ci] += cnt @ params_full[s][ranks]
-            params[ci] /= steps * cells.size
+            # Membership-weighted average over ALL samples: each member
+            # cell contributes its sampled cluster's parameter row.
+            ranks_sub = rank[np.broadcast_to(rows, sub.shape), sub]
+            acc = np.zeros(params_full.shape[2])
+            chunk = max(1, 2_000_000 // max(1, sub.shape[1]))
+            for s0 in range(0, steps, chunk):
+                sl = slice(s0, min(s0 + chunk, steps))
+                acc += params_full[
+                    rows[sl], ranks_sub[sl]
+                ].sum(axis=(0, 1))
+            params[ci] = acc / (steps * sub.shape[1])
 
     geno = pd.DataFrame(params).T[assign]
     return assign, geno
