@@ -61,7 +61,8 @@ def parse_args(argv=None):
     )
     parser.add_argument(
         "--debug", action="store_true", default=False,
-        help="Run a single chain eagerly for debugging.",
+        help="Run a single chain eagerly (jax.disable_jit, block_size 1) "
+             "so breakpoints and post-mortem debugging work.",
     )
 
     model = parser.add_argument_group("model")
@@ -155,6 +156,12 @@ def parse_args(argv=None):
     tpu.add_argument("--profile", type=str, default="",
                      help="Write a jax.profiler trace of the sampling run "
                           "to this directory (view with TensorBoard).")
+    tpu.add_argument("--mesh", type=str, default="",
+                     help="Device-mesh shape as CHAINS,MUTS (e.g. '2,4' = "
+                          "chains sharded over 2 device groups, the mutation "
+                          "axis split 4-ways inside each), or 'auto' for all "
+                          "devices on the chain axis. Default: chain axis "
+                          "over all devices when chains > 1.")
     tpu.add_argument("--coupled_moves", action="store_true", default=False,
                      help="Share the per-step move-type selection across "
                           "chains (~2x multi-chain throughput on one chip; "
@@ -269,6 +276,32 @@ def generate_output(args, results, data_raw, names) -> None:
         plotting.save_similarity(args, inferred, results, out_dir)
 
 
+def build_mesh(args):
+    """--mesh CHAINS,MUTS -> jax.sharding.Mesh (None if unrequested)."""
+    if not args.mesh:
+        return None
+    from bnpc_tpu.parallel import sharded
+
+    import jax
+
+    if args.mesh == "auto":
+        return sharded.make_mesh(len(jax.devices()), 1)
+    try:
+        c, m = (int(x) for x in args.mesh.split(","))
+    except ValueError:
+        raise SystemExit(
+            f"error: --mesh must be CHAINS,MUTS or 'auto', got {args.mesh!r}"
+        )
+    if args.chains % c != 0:
+        raise SystemExit(
+            f"error: --mesh chain axis {c} must divide -n {args.chains}"
+        )
+    try:
+        return sharded.make_mesh(c, m)
+    except ValueError as e:
+        raise SystemExit(f"error: {e}")
+
+
 def main(args) -> None:
     from bnpc_tpu.utils.cache import enable_compilation_cache
 
@@ -293,31 +326,46 @@ def main(args) -> None:
         print(f"Run MCMC with ({args.chains} chains {run_str}):")
 
     if args.debug:
+        # Reference --debug runs one chain inline for pdb
+        # (run_BnpC.py:53-56, libs/MCMC.py:106-111); the jit-free equivalent
+        # is a single chain, one step per dispatch, with jit disabled for
+        # the whole run (see the wrapper around runner.run below).
         args.chains = 1
+        args.block_size = 1
 
     packed = pack_data(data)
     runner = MCMCRunner(
         cfg, mcmc_cfg, packed, block_size=args.block_size,
         checkpoint_dir=args.checkpoint_dir or None,
+        mesh=build_mesh(args),
     )
 
     assign = (
         io.load_assignment_txt(args.fixed_assignment)
         if args.fixed_assignment else None
     )
-    if args.profile:
-        import jax
-
-        with jax.profiler.trace(args.profile):
-            chain_results = runner.run(
-                run_var, args.seed, n_chains=args.chains, assign=assign,
-                verbosity=args.verbosity,
-            )
-    else:
-        chain_results = runner.run(
+    def _run():
+        return runner.run(
             run_var, args.seed, n_chains=args.chains, assign=assign,
             verbosity=args.verbosity,
         )
+
+    if args.debug:
+        import contextlib
+
+        import jax
+
+        ctx = jax.disable_jit()
+    elif args.profile:
+        import jax
+
+        ctx = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        chain_results = _run()
     args.chain_seeds = list(map(int, runner.seeds))
     results = [r.as_dict() for r in chain_results]
     args.time.append(datetime.now())

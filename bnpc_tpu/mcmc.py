@@ -353,6 +353,21 @@ class MCMCRunner:
         self.mesh = mesh
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
+        # Mutation-axis model parallelism (SURVEY.md section 2.3 TP row):
+        # a mesh with a "muts" axis routes every block through the
+        # shard_map-wrapped step of bnpc_tpu.parallel.sharded.
+        self.mut_shards = (
+            int(mesh.shape["muts"]) if mesh is not None
+            and "muts" in mesh.axis_names else 1
+        )
+        self._block_sharded = None
+        if self.mut_shards > 1:
+            from bnpc_tpu.parallel import sharded as _psh
+
+            self._data_pad, self._m_pad = _psh.pad_muts(
+                data, self.mut_shards)
+            self._block_sharded = _psh.make_sharded_block(
+                mesh, cfg, mcmc_cfg, self._data_pad)
         # How to execute a chain batch on a single device: "vmap" batches
         # them into one program (wins for small problems), "sequential" runs
         # the single-chain program per chain (wins for large n, where batched
@@ -402,6 +417,11 @@ class MCMCRunner:
             lambda k: jax.random.split(k, n_steps + 1)
         )(keys)
         next_keys = step_keys[:, 0]
+        if self._block_sharded is not None:
+            states = self._pad_state_muts(states)
+            states, rows = self._block_sharded(states, step_keys[:, 1:])
+            rows = rows._replace(params=rows.params[..., :self.cfg.n_muts])
+            return states, rows, next_keys
         if keys.shape[0] == 1:
             st1 = jax.tree.map(lambda x: x[0], states)
             st1, rows1 = self._block_single(st1, step_keys[0, 1:])
@@ -456,6 +476,23 @@ class MCMCRunner:
                                      verbosity)
         return self._run_time(states, keys, run_var[0], run_var[1])
 
+    def _pad_state_muts(self, states):
+        """Pad the params mutation axis up to the mesh's shard multiple."""
+        m, m_pad = self.cfg.n_muts, self._m_pad
+        if states.params.shape[-1] == m_pad:
+            return states
+        return states._replace(params=jnp.pad(
+            states.params, [(0, 0), (0, 0), (0, m_pad - m)],
+            constant_values=0.5,
+        ))
+
+    def _summarize_states(self, states):
+        """Initial-row summary; drops mutation padding first if present."""
+        if states.params.shape[-1] != self.cfg.n_muts:
+            states = states._replace(
+                params=states.params[..., :self.cfg.n_muts])
+        return self._summary(states)
+
     def _maybe_shard(self, states, keys, n_chains: int):
         """Shard the chain batch axis over the devices (the TPU-native
         replacement for one-process-per-chain, libs/MCMC.py:113-120)."""
@@ -463,6 +500,16 @@ class MCMCRunner:
 
         if self.mesh is not None:
             mesh = self.mesh
+            if self.mut_shards > 1:
+                if n_chains % mesh.shape["chains"] != 0:
+                    raise ValueError(
+                        f"{n_chains} chains not divisible by the mesh's "
+                        f"chain axis ({mesh.shape['chains']})"
+                    )
+                from bnpc_tpu.parallel import sharded as _psh
+
+                return _psh.shard_chain_states(
+                    mesh, self._pad_state_muts(states), keys)
         else:
             n_dev = len(jax.devices())
             if n_dev <= 1 or n_chains <= 1:
@@ -551,7 +598,7 @@ class MCMCRunner:
         return results
 
     def _run_steps(self, states, keys, steps: int, burn_in: int):
-        init_rows = self._summary(states)
+        init_rows = self._summarize_states(states)
         buf = _TraceBuffer(keys.shape[0])
         done = 0
         ckpt_path = None
@@ -609,7 +656,7 @@ class MCMCRunner:
 
     def _run_time(self, states, keys, end_time: datetime,
                   burnin_time: datetime):
-        init_rows = self._summary(states)
+        init_rows = self._summarize_states(states)
         buf = _TraceBuffer(keys.shape[0])
         burn_in = 0
         while datetime.now() < end_time:
@@ -625,7 +672,7 @@ class MCMCRunner:
                      extension: int = 200):
         # Initial steps: max(10, 1/(cutoff^2 - 1)) (libs/MCMC.py:85-90).
         first = max(10, int(1.0 / (cutoff**2 - 1.0)))
-        init_rows = self._summary(states)
+        init_rows = self._summarize_states(states)
         buf = _TraceBuffer(keys.shape[0])
         ckpt_path = None
         resumed = False

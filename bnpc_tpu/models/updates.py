@@ -38,7 +38,14 @@ def update_parameters(key, state: CRPState, n1, n0, cfg: ModelConfig,
     params = jnp.where(live[:, None], res.params, state.params)
     declined = jnp.sum(jnp.where(live, res.declined, 0))
     n_live = jnp.sum(live)
-    accepted = n_live * cfg.n_muts - declined
+    # Under mutation sharding cfg.n_muts is the PADDED column count while
+    # `declined` is masked to real columns — count the real columns from the
+    # shard masks so acceptance telemetry is not inflated by phantom accepts.
+    if ax.mask is not None:
+        m_real = ax.psum(jnp.sum(ax.mask)).astype(jnp.int32)
+    else:
+        m_real = cfg.n_muts
+    accepted = n_live * m_real - declined
     return state._replace(params=params), declined, accepted
 
 
