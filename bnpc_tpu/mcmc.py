@@ -529,7 +529,8 @@ class MCMCRunner:
     # notes trace+PRNG-key checkpointing is nearly free with a scan carry) --
 
     def save_checkpoint(self, path, states, keys, buf, done: int,
-                        init_rows: TraceRow | None = None):
+                        init_rows: TraceRow | None = None,
+                        extra: dict | None = None):
         os_mod = __import__("os")
         os_mod.makedirs(os_mod.path.dirname(path) or ".", exist_ok=True)
         rows = buf.concat() if buf.rows else None
@@ -537,6 +538,8 @@ class MCMCRunner:
             "done": np.asarray(done),
             "key_data": np.asarray(jax.random.key_data(keys)),
         }
+        for k, v in (extra or {}).items():
+            payload[f"extra_{k}"] = np.asarray(v)
         for f in states._fields:
             payload[f"state_{f}"] = np.asarray(getattr(states, f))
         if init_rows is not None:
@@ -553,6 +556,10 @@ class MCMCRunner:
         with np.load(path) as z:
             done = int(z["done"])
             keys = jax.random.wrap_key_data(jnp.asarray(z["key_data"]))
+            self._ckpt_extra = {
+                k[len("extra_"):]: z[k] for k in z.files
+                if k.startswith("extra_")
+            }
             states = CRPState(**{
                 f: jnp.asarray(z[f"state_{f}"]) for f in CRPState._fields
             })
@@ -621,7 +628,14 @@ class MCMCRunner:
                 # Run a full block to reuse the compiled program; keep only
                 # the first b trace rows (the extra sampled steps are simply
                 # discarded — the chain state intentionally advances past
-                # them, which is statistically immaterial).
+                # them, which is statistically immaterial). Checkpoint the
+                # last BLOCK-ALIGNED state first: the excess steps are not
+                # re-startable, and a resume replays the partial block
+                # bit-identically from here (the step keys are a pure
+                # function of the chain key).
+                if ckpt_path:
+                    self.save_checkpoint(ckpt_path, states, keys, buf, done,
+                                         init_rows)
                 states, rows, keys = self.run_block(
                     states, keys, self.block_size
                 )
@@ -631,11 +645,13 @@ class MCMCRunner:
             if getattr(self, "_verbosity", 1) > 1:
                 self._print_progress(done, steps, rows)
             blocks_since_ckpt += 1
-            if ckpt_path and blocks_since_ckpt >= self.checkpoint_every:
+            aligned = done % self.block_size == 0
+            if (ckpt_path and aligned
+                    and blocks_since_ckpt >= self.checkpoint_every):
                 self.save_checkpoint(ckpt_path, states, keys, buf, done,
                                      init_rows)
                 blocks_since_ckpt = 0
-        if ckpt_path:
+        if ckpt_path and steps % self.block_size == 0:
             self.save_checkpoint(ckpt_path, states, keys, buf, done,
                                  init_rows)
         return self._collect(buf, init_rows, burn_in)
@@ -660,12 +676,22 @@ class MCMCRunner:
         buf = _TraceBuffer(keys.shape[0])
         burn_in = 0
         while datetime.now() < end_time:
+            t_before = datetime.now()
+            before_steps = buf.n_steps
             states, rows, keys = self.run_block(states, keys,
                                                 self.block_size)
             jax.block_until_ready(rows.ml)
+            t_after = datetime.now()
             buf.append(rows)
-            if datetime.now() < burnin_time:
+            # The reference compares the burn-in timestamp at every step
+            # start (libs/MCMC.py:428-430); steps inside a jitted block have
+            # no host clock, so the step where burn-in ended is recovered by
+            # linear interpolation of the block's wall-clock interval.
+            if t_after < burnin_time:
                 burn_in = buf.n_steps
+            elif t_before < burnin_time:
+                frac = (burnin_time - t_before) / (t_after - t_before)
+                burn_in = before_steps + int(self.block_size * frac)
         return self._collect(buf, init_rows, burn_in)
 
     def _run_lugsail(self, states, keys, cutoff: float, verbosity: int,
@@ -692,7 +718,17 @@ class MCMCRunner:
         if not resumed:
             states, rows, keys = self.run_block(states, keys, first)
             buf.append(rows)
+        # PSRF evaluations recorded before a checkpoint restart stay in the
+        # reported history (the reference accumulates the full list across
+        # extensions, libs/MCMC.py:147-156).
         psrf_log = []
+        if resumed and getattr(self, "_ckpt_extra", None):
+            ex = self._ckpt_extra
+            if "psrf_steps" in ex:
+                psrf_log = [
+                    (int(s), float(v))
+                    for s, v in zip(ex["psrf_steps"], ex["psrf_vals"])
+                ]
         while True:
             steps_run = buf.n_steps + 1  # incl. initial row
             ml = np.concatenate(
@@ -709,8 +745,12 @@ class MCMCRunner:
             states, rows, keys = self.run_block(states, keys, extension)
             buf.append(rows)
             if ckpt_path:
-                self.save_checkpoint(ckpt_path, states, keys, buf,
-                                     buf.n_steps, init_rows)
+                self.save_checkpoint(
+                    ckpt_path, states, keys, buf, buf.n_steps, init_rows,
+                    extra={
+                        "psrf_steps": [s for s, _ in psrf_log],
+                        "psrf_vals": [v for _, v in psrf_log],
+                    })
         burn_in = (buf.n_steps + 1) // 2 + 1
         return self._collect(buf, init_rows, burn_in, psrf=psrf_log,
                              cutoff=cutoff)

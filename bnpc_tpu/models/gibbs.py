@@ -214,7 +214,7 @@ def _scan_impl(state, data, cfg, ax, perm, gumbel, fresh, new_post,
         # later cells in the permutation see the newborn cluster.
         def birth(params, ll):
             params = params.at[free].set(fresh[cell])
-            col = lk.ll_row(f1[cell], f0[cell],
+            col = lk.ll_col(f1[cell], f0[cell],
                             data.xm, data.xm0, ax)  # [n]
             return params, ll.at[:, free].set(col)
 

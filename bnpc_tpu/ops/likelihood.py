@@ -60,6 +60,12 @@ def ll_row(xm_row, xm0_row, c1, c0, ax: MutAxis = _NO_AXIS):
     return ax.psum(_mm(c1, xm_row) + _mm(c0, xm0_row))
 
 
+def ll_col(c1_row, c0_row, xm, xm0, ax: MutAxis = _NO_AXIS):
+    """[n] log-likelihood of EVERY cell under one parameter row's tables
+    (the transpose companion of ll_row; same matvec, roles swapped)."""
+    return ax.psum(_mm(xm, c1_row) + _mm(xm0, c0_row))
+
+
 def ll_from_stats(n1, n0, c1, c0, ax: MutAxis = _NO_AXIS):
     """Total log-likelihood given per-slot sufficient statistics.
 

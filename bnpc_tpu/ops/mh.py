@@ -96,6 +96,12 @@ def mh_cluster_params(key, params, n1, n0, fp, fn, cfg: ModelConfig,
     ).astype(jnp.int32)
 
     if trans_prob:
+        # Deliberate deviation: the reference computes log(1 - e^A)
+        # unclamped (libs/CRP.py:340-342), which is -inf when A rounds to 0.
+        # The min(A, -1e-10) clamp yields ~log(1e-10) instead; it perturbs a
+        # declined-coordinate term only when A is within 1e-10 of 0
+        # (probability ~0 under continuous proposals), so split-merge
+        # acceptance ratios are statistically unaffected.
         contrib = jnp.where(
             decline,
             jnp.log(-jnp.expm1(jnp.minimum(A, -1e-10))),
