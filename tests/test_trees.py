@@ -57,3 +57,29 @@ def test_color_tree_nodes(tmp_path):
     assert 's00 [fillcolor="#' in content
     assert 's01 [fillcolor="#' in content
     assert content.rstrip().endswith("}")
+
+
+def test_newick_parity_with_reference():
+    """The recursive-descent parser reproduces the reference's edge list
+    (incl. internal-node numbering) on nested binary trees."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/benchmarks/bn_shim")
+    sys.path.insert(0, "/root/reference")
+    try:
+        from libs import utils as ref
+    except Exception:
+        import pytest
+
+        pytest.skip("reference not importable")
+    cases = [
+        "((Acell1:0.1,Acell2:0.2):0.3,Acell3:0.4)",
+        "(((Xcell1:0.11,Xcell2:0.22):0.5,(Xcell3:0.1,Xcell4:0.3):0.7):0.2,"
+        "(Xcell5:0.9,Xcell6:0.01):0.6)",
+        "(Bcell2:0.5,(Bcell1:0.25,Bcell3:0.75):0.125)",
+    ]
+    for case in cases:
+        e_ref, c_ref = ref.get_edges_from_newick(case)
+        e_new, c_new = trees.edges_from_newick(case)
+        assert c_ref == c_new
+        assert e_ref == e_new
