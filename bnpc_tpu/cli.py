@@ -175,6 +175,18 @@ def build_model_config(args, n_cells: int, n_muts: int) -> ModelConfig:
     (run_BnpC.py:249-262)."""
     k_max = args.max_clusters if args.max_clusters > 0 else min(n_cells, 256)
     k_max = min(k_max, n_cells)
+    if k_max < n_cells and args.max_clusters <= 0:
+        import sys
+
+        print(
+            f"NOTE: cluster capacity capped at k_max={k_max} < "
+            f"{n_cells} cells (the reference can occupy up to one cluster "
+            "per cell). The cap truncates the CRP prior's tail; posterior "
+            "summaries are unaffected while the sampled cluster count stays "
+            "well below it (typical K ~ alpha*log n). Raise it with "
+            "--max_clusters if needed.",
+            file=sys.stderr,
+        )
     common = dict(
         n_cells=n_cells, n_muts=n_muts, k_max=k_max,
         p=args.param_prior[0], q=args.param_prior[1],

@@ -203,3 +203,41 @@ def test_time_mode_burnin_interpolated():
     # Interpolation can land mid-block; with block_size 8 a pure
     # block-granularity burn-in would always be a multiple of 8.
     assert np.isfinite(res.ML).all()
+
+
+@pytest.mark.slow
+def test_kmax_cap_posterior_invariance():
+    """k_max=256 < n=300 (the default cap, VERDICT round 1 item 7) leaves the
+    posterior unchanged vs full capacity k_max=n: the cap only truncates the
+    CRP prior's far tail (reference init can occupy up to n clusters,
+    libs/CRP.py:139-147, but the stationary K is ~alpha*log n)."""
+    from bnpc_tpu.config import MCMCConfig, ModelConfig
+    from bnpc_tpu.data import pack_data
+    from tests.test_moves import make_problem
+    from bnpc_tpu.estimators import ari
+
+    n, m = 300, 24
+    data, true_assign = make_problem(n=n, m=m, k_clones=3, seed=17)
+    packed = pack_data(data)
+    mcmc_cfg = MCMCConfig(sm_prob=0.25, dpa_prob=0.25, error_prob=0.0,
+                          sm_steps=2)
+
+    summaries = {}
+    for k_max in (256, n):
+        cfg = ModelConfig(n_cells=n, n_muts=m, k_max=k_max,
+                          p=0.25, q=0.25, fp=0.01, fn=0.1)
+        runner = MCMCRunner(cfg, mcmc_cfg, packed, block_size=25)
+        res = runner.run((150, 75), seed=23, n_chains=1, verbosity=0)[0]
+        ks = [len(np.unique(a)) for a in res.assignments[75:]]
+        summaries[k_max] = {
+            "mean_k": float(np.mean(ks)),
+            "mean_ml": float(np.mean(res.ML[75:])),
+            "ari": ari(res.assignments[-1], true_assign),
+        }
+
+    a, b = summaries[256], summaries[n]
+    assert a["ari"] > 0.95 and b["ari"] > 0.95, summaries
+    assert abs(a["mean_k"] - b["mean_k"]) < 1.5, summaries
+    # Log-likelihood scale ~ n*m; agree within a small relative band.
+    assert abs(a["mean_ml"] - b["mean_ml"]) / abs(b["mean_ml"]) < 0.01, \
+        summaries
