@@ -42,16 +42,19 @@ NEG_INF = -jnp.inf
 
 def _hoisted_randomness(key, state, data, cfg, ax):
     """Everything random in a sweep, drawn up front (shared by both impls)."""
+    from bnpc_tpu.ops.randomx import beta_binary
+
     n, k_max = cfg.n_cells, cfg.k_max
     k_perm, k_gumbel, k_beta = jax.random.split(key, 3)
     perm = jax.random.permutation(k_perm, n)
     gumbel = jax.random.gumbel(k_gumbel, (n, k_max + 1))
+    # [n, m] newborn row per cell (libs/CRP.py:183-188). beta_binary is the
+    # exact Beta(p+x, q+x0) specialized to binary planes — jax.random.beta
+    # with array shapes costs ~85% of a whole sweep (ops/randomx.py).
     fresh = jnp.clip(
-        jax.random.beta(
-            ax.fold_key(k_beta), cfg.p + data.xm, cfg.q + data.xm0
-        ),
+        beta_binary(ax.fold_key(k_beta), cfg.p, cfg.q, data.xm, data.xm0),
         TMIN, TMAX,
-    ).astype(jnp.float32)  # [n, m] newborn row per cell (libs/CRP.py:183-188)
+    ).astype(jnp.float32)
     return perm, gumbel, fresh
 
 

@@ -77,7 +77,9 @@ def _masked_counts(mask_f32, data: PackedData):
 
 
 def _beta_posterior_row(key, cfg, n1, n0):
-    draw = jax.random.beta(key, cfg.p + n1, cfg.q + n0)
+    from bnpc_tpu.ops.randomx import beta_general
+
+    draw = beta_general(key, cfg.p + n1, cfg.q + n0)
     return jnp.clip(draw, TMIN, TMAX).astype(jnp.float32)
 
 

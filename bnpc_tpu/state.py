@@ -71,7 +71,9 @@ def _beta_posterior_params(
 
     Reference: libs/CRP.py:155-188 (`_init_cl_params` / `_init_cl_params_new`).
     """
-    draw = jax.random.beta(key, cfg.p + n1, cfg.q + n0)
+    from bnpc_tpu.ops.randomx import beta_general
+
+    draw = beta_general(key, cfg.p + n1, cfg.q + n0)
     return jnp.clip(draw, TMIN, TMAX).astype(jnp.float32)
 
 
