@@ -261,43 +261,36 @@ def _pallas_impl(state, data, cfg, perm, gumbel, fresh, new_post, log_denom,
 
     # Everything the sweep can ever need is two big MXU matmuls up front
     # (the _scan_dense_impl trick): each cell against the current slots,
-    # and each cell against every potential newborn row. Both permuted.
-    xm_p, xm0_p = data.xm[perm], data.xm0[perm]
+    # and each cell against every potential newborn row. All in absolute
+    # cell order — the permutation is an in-kernel SMEM indirection, so no
+    # gather/transpose passes are needed here.
     c1, c0 = lk.log_prob_tables(state.params, state.fp, state.fn)
-    ll0_p = pad_n8(jnp.pad(
-        lk.ll_matrix(data, c1, c0)[perm], [(0, 0), (0, k_pad - k_max)]
+    ll0 = pad_n8(jnp.pad(
+        lk.ll_matrix(data, c1, c0), [(0, 0), (0, k_pad - k_max)]
     ))  # [n8, k_pad]
-    fresh_p = fresh[perm]
-    f1, f0 = lk.log_prob_tables(fresh_p, state.fp, state.fn)
-    lf_p = jnp.dot(xm_p, f1.T, precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=jnp.float32) \
-        + jnp.dot(xm0_p, f0.T, precision=jax.lax.Precision.HIGHEST,
-                  preferred_element_type=jnp.float32)  # [n, n] cell x birth
-    lf4 = pad_n8(jnp.pad(lf_p, [(0, 0), (0, nb * 128 - n)])) \
-        .reshape(n8, nb, 128).transpose(1, 0, 2)
+    f1, f0 = lk.log_prob_tables(fresh, state.fp, state.fn)
+    lf2 = pad_n8(jnp.pad(
+        lk.ll_matrix(data, f1, f0), [(0, 0), (0, nb * 128 - n)]
+    ))  # [n8, nb*128]: lf2[j, b] = ll(cell j | fresh row of cell b)
 
-    gum_p = pad_n8(jnp.pad(
-        gumbel[:, :k_max], [(0, 0), (0, k_pad - k_max)]
-    )[perm])
-    aux = (new_post + gumbel[:, k_max])[perm]
-    assign_p = state.assignment[perm]
+    gum = pad_n8(jnp.pad(gumbel[:, :k_max], [(0, 0), (0, k_pad - k_max)]))
+    aux = new_post + gumbel[:, k_max]
 
     sizes = jnp.concatenate([
         state.cluster_size.astype(jnp.float32),
         jnp.full((k_pad - k_max,), -1.0, jnp.float32),
     ])
-    fresh3 = pad_m(fresh_p, 0.5)[:, None, :]
+    fresh3 = pad_m(fresh, 0.5)[:, None, :]
     params3 = jnp.pad(
         pad_m(state.params, 0.5), [(0, k_pad - k_max), (0, 0)],
         constant_values=0.5,
     )[:, None, :]
 
-    assign_out, sizes_out, params_out = pallas_sweep(
-        ll0_p, gum_p, lf4, fresh3, aux, assign_p,
+    assignment, sizes_out, params_out = pallas_sweep(
+        ll0, gum, lf2, fresh3, aux, state.assignment, perm,
         sizes, params3, log_denom, interpret=interpret,
     )
 
-    assignment = state.assignment.at[perm].set(assign_out)
     return state._replace(
         assignment=assignment,
         cluster_size=sizes_out[:k_max].astype(jnp.int32),

@@ -10,8 +10,13 @@ libs/CRP.py:254-299):
   * ``ll0 [n, k_pad]`` — every cell against every current slot's parameters;
     staged once into a VMEM-resident working matrix ``V``;
   * ``lf [n, n]`` — every cell against every cell's pre-drawn newborn
-    (Beta-posterior) parameter row, passed as ``lf4 [nb, n, 128]`` blocks so
-    a birth's column patch is a single contiguous leading-dim DMA.
+    (Beta-posterior) parameter row; a birth's column patch is one DMA of a
+    128-lane-aligned column slice.
+
+All arrays stay in ABSOLUTE cell order; the sweep's random permutation is a
+single SMEM indirection per iteration (``cell = perm[i]``), which removes
+four [n, *] gather passes and a 100 MB transpose from the per-sweep
+precompute.
 
 Each cell iteration is then pure VPU work on [1, k_pad] vectors: mask the
 live slots, add the CRP size prior and the hoisted Gumbel row, argmax, and
@@ -60,23 +65,24 @@ def _round_up(x: int, mult: int) -> int:
 
 def _sweep_kernel(
     # inputs
-    ll0_ref,        # [n, k_pad] f32, ANY/HBM (rows permuted)
-    gum_ref,        # [n, k_pad] f32, VMEM-resident (rows permuted)
-    lf4_ref,        # [nb, n, 128] f32, ANY/HBM — lf4[b, j, l] = ll(cell j |
-    #                 fresh row of cell b*128+l), both axes permuted
+    ll0_ref,        # [n8, k_pad] f32, ANY/HBM (absolute cell order)
+    gum_ref,        # [n8, k_pad] f32, VMEM-resident (absolute cell order)
+    lf2_ref,        # [n8, nb*128] f32, ANY/HBM — lf2[j, b] = ll(cell j |
+    #                 fresh row of cell b)
     fresh3_ref,     # [n, 1, m_pad] f32, ANY/HBM — newborn parameter rows
     aux_ref,        # [n] f32, SMEM — new-cluster logit incl. its gumbel
-    assign_in_ref,  # [n] i32, SMEM (permuted)
+    assign_in_ref,  # [n] i32, SMEM
+    perm_ref,       # [n] i32, SMEM — the sweep's cell visit order
     sizes_in_ref,   # [1, k_pad] f32, VMEM (-1 sentinel on padded slots)
     params3_in_ref,  # [k_pad, 1, m_pad] f32, ANY/HBM
     logden_ref,     # [1, 1] f32, SMEM
     # outputs
-    assign_out_ref,  # [n] i32, SMEM
+    assign_out_ref,  # [n] i32, SMEM (absolute cell order)
     sizes_out_ref,   # [1, k_pad] f32, VMEM
     params3_out_ref,  # [k_pad, 1, m_pad] f32, ANY/HBM
     # scratch
-    v_scr,          # [n, k_pad] f32 — the resident working likelihood matrix
-    colblk,         # [n, 128] f32 — birth-column staging block
+    v_scr,          # [n8, k_pad] f32 — the resident working likelihood matrix
+    colblk,         # [n8, 128] f32 — birth-column staging block
     init_sem, pinit_sem, col_sem, prow_sem,
 ):
     # v_scr rows are padded to a sublane multiple; the loop runs over the
@@ -101,14 +107,15 @@ def _sweep_kernel(
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def body(i, _):
+        cell = perm_ref[i]
         # Remove the cell from its cluster (libs/CRP.py:262-266). Each cell
         # is visited exactly once, so its pre-sweep assignment (input ref)
         # is its current one.
-        old = assign_in_ref[i]
+        old = assign_in_ref[cell]
         sizes = sizes_out_ref[0, :] - (iota_k == old).astype(jnp.float32)
 
-        v = v_scr[pl.ds(i, 1), :][0]
-        gum = gum_ref[pl.ds(i, 1), :][0]
+        v = v_scr[pl.ds(cell, 1), :][0]
+        gum = gum_ref[pl.ds(cell, 1), :][0]
 
         # Posterior over live slots + the new-cluster option.
         live = sizes > 0.0
@@ -120,7 +127,7 @@ def _sweep_kernel(
 
         free_mask = sizes == 0.0
         has_free = jnp.any(free_mask)
-        post_new = jnp.where(has_free, aux_ref[i], NEG_INF)
+        post_new = jnp.where(has_free, aux_ref[cell], NEG_INF)
         is_new = post_new > best_old
         # First free slot. NOT jnp.argmax(free_mask): Mosaic's argmax does
         # not return the first tied lane (measured).
@@ -131,12 +138,13 @@ def _sweep_kernel(
         # V column (one contiguous [n, 128] block DMA + masked-lane merge).
         @pl.when(is_new)
         def _():
-            bi = jax.lax.div(i, 128)
-            lane = jax.lax.rem(i, 128)
-            col_dma = pltpu.make_async_copy(lf4_ref.at[bi], colblk, col_sem)
+            start = pl.multiple_of(jax.lax.div(cell, 128) * 128, 128)
+            lane = jax.lax.rem(cell, 128)
+            col_dma = pltpu.make_async_copy(
+                lf2_ref.at[:, pl.ds(start, 128)], colblk, col_sem)
             col_dma.start()
             prow_dma = pltpu.make_async_copy(
-                fresh3_ref.at[i], params3_out_ref.at[free], prow_sem)
+                fresh3_ref.at[cell], params3_out_ref.at[free], prow_sem)
             prow_dma.start()
             col_dma.wait()
             col = jnp.sum(
@@ -146,27 +154,27 @@ def _sweep_kernel(
             prow_dma.wait()
 
         sizes_out_ref[0, :] = sizes + (iota_k == target).astype(jnp.float32)
-        assign_out_ref[i] = target
+        assign_out_ref[cell] = target
         return ()
 
     jax.lax.fori_loop(0, n, body, (), unroll=False)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_sweep(ll0_p, gum_p, lf4, fresh3, aux, assign_p, sizes, params3,
+def pallas_sweep(ll0, gum, lf2, fresh3, aux, assign, perm, sizes, params3,
                  log_denom, *, interpret=False):
-    """Run the fused sweep. All arrays pre-permuted and pre-padded:
+    """Run the fused sweep. All arrays in ABSOLUTE cell order, pre-padded:
 
-    ll0_p: [n8, k_pad]; gum_p: [n8, k_pad]; lf4: [nb, n8, 128] (see
-    kernel) where n8 = n rounded up to the f32 sublane tile (8);
+    ll0: [n8, k_pad]; gum: [n8, k_pad]; lf2: [n8, nb*128] where n8 = n
+    rounded up to the f32 sublane tile (8) and nb = ceil(n/128);
     fresh3: [n, 1, m_pad]; aux: [n] (new-cluster logit + gumbel);
-    assign_p: [n] i32; sizes: [k_pad] f32 with -1 sentinels;
-    params3: [k_pad, 1, m_pad].
+    assign: [n] i32; perm: [n] i32 visit order; sizes: [k_pad] f32 with -1
+    sentinels; params3: [k_pad, 1, m_pad].
 
-    Returns (assignment_p [n] i32, sizes [k_pad] f32, params [k_pad, m_pad]).
+    Returns (assignment [n] i32, sizes [k_pad] f32, params [k_pad, m_pad]).
     """
-    n_pad8, k_pad = ll0_p.shape
-    n = assign_p.shape[0]
+    n_pad8, k_pad = ll0.shape
+    n = assign.shape[0]
     m_pad = fresh3.shape[2]
 
     out = pl.pallas_call(
@@ -179,10 +187,11 @@ def pallas_sweep(ll0_p, gum_p, lf4, fresh3, aux, assign_p, sizes, params3,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # ll0
             pl.BlockSpec(memory_space=pltpu.VMEM),  # gum
-            pl.BlockSpec(memory_space=pl.ANY),      # lf4
+            pl.BlockSpec(memory_space=pl.ANY),      # lf2
             pl.BlockSpec(memory_space=pl.ANY),      # fresh3
             pl.BlockSpec(memory_space=pltpu.SMEM),  # aux
             pl.BlockSpec(memory_space=pltpu.SMEM),  # assign
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # perm
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sizes
             pl.BlockSpec(memory_space=pl.ANY),      # params3
             pl.BlockSpec(memory_space=pltpu.SMEM),  # log_denom
@@ -202,9 +211,10 @@ def pallas_sweep(ll0_p, gum_p, lf4, fresh3, aux, assign_p, sizes, params3,
         ],
         interpret=interpret,
     )(
-        ll0_p, gum_p, lf4, fresh3,
+        ll0, gum, lf2, fresh3,
         aux.astype(jnp.float32),
-        assign_p.astype(jnp.int32),
+        assign.astype(jnp.int32),
+        perm.astype(jnp.int32),
         sizes[None, :].astype(jnp.float32),
         params3,
         jnp.asarray(log_denom, jnp.float32)[None, None],
