@@ -1,3 +1,10 @@
+"""Per-component step timing at the headline config (5,000 x 200, TPU).
+
+Times each MCMC step component in isolation (fused Pallas Gibbs sweep,
+split-merge, sufficient-stats + parameter MH, trace summarize) and the full
+composed step, after warming to stationarity. Used to find the next
+optimization lever; results recorded in BASELINE.md / CLAUDE.md perf notes.
+"""
 import time
 import numpy as np, jax, jax.numpy as jnp
 from bnpc_tpu.utils.cache import enable_compilation_cache
