@@ -62,7 +62,7 @@ def main():
 
     # Warm-up with the SAME block length as the timed run (one compile),
     # and let the cluster count settle off the random init.
-    timed_steps = 32
+    timed_steps = 256
     states, rows, keys = runner.run_block(states, keys, timed_steps)
     jax.block_until_ready(rows.ml)
 

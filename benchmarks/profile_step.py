@@ -47,7 +47,7 @@ def timeit(name, fn, batches=4, reps=15):
     print(f"{name}: median {np.median(ts):.2f} ms  ({' '.join(f'{t:.1f}' for t in ts)})")
 
 timeit("pallas sweep", sweep)
-timeit("split-merge", jax.jit(lambda k, s: split_merge(k, s, packed, cfg, 0.75, 3)))
+timeit("split-merge", jax.jit(lambda k, s: split_merge(k, s, packed, cfg, 0.75, 3, impl="auto_single")))
 def par(k, s):
     n1, n0 = cluster_stats(packed, s.assignment, cfg.k_max)
     return update_parameters(k, s, n1, n0, cfg)

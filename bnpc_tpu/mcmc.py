@@ -112,9 +112,14 @@ def make_step_fn(cfg: ModelConfig, mcmc_cfg: MCMCConfig, data: PackedData,
 
         if not mcmc_cfg.fix_assign:
             def do_sm(st):
+                # The restricted-scan backend follows the Gibbs one: both
+                # "auto_single" fast paths are valid exactly when the step
+                # runs unbatched on TPU.
                 return split_merge(
                     k_assign, st, data, cfg,
                     mcmc_cfg.sm_split_ratio, mcmc_cfg.sm_steps, ax=ax,
+                    impl=gibbs_impl if gibbs_impl in ("auto", "auto_single")
+                    else "auto",
                 )
 
             def do_gibbs(st):
@@ -386,13 +391,44 @@ class MCMCRunner:
         # step cost. One chain keeps real branching; coupled_moves restores
         # real branching for batched chains too. The unbatched block also
         # gets the fused Pallas Gibbs sweep on TPU (gibbs.pallas_available).
-        self._block = jax.jit(jax.vmap(block))
-        self._block_single = jax.jit(make_block_fn(
-            cfg, mcmc_cfg, data, self.trace_k, gibbs_impl="auto_single"))
+        block_single = make_block_fn(
+            cfg, mcmc_cfg, data, self.trace_k, gibbs_impl="auto_single")
         coupled = make_coupled_step_fn(cfg, mcmc_cfg, data, self.trace_k)
-        self._block_coupled = jax.jit(
-            lambda states, step_keys: jax.lax.scan(coupled, states, step_keys)
-        )
+
+        # Each pipeline folds the per-block key splitting and the chain-axis
+        # unwrap/rewrap INTO the jitted program: over a tunneled TPU every
+        # separate dispatch costs ~1-2 ms of relay latency, and the old
+        # eager tree.map/split sequence (~20 dispatches per block) cost more
+        # than the sampling itself at headline scale (measured: 180 ->
+        # ~300 steps/s at 5,000 x 200, block 32).
+        def _split_keys(keys, n_steps):
+            step_keys = jax.vmap(
+                lambda k: jax.random.split(k, n_steps + 1)
+            )(keys)
+            return step_keys, step_keys[:, 0]
+
+        def _pipe_single(states, keys, n_steps):
+            step_keys, next_keys = _split_keys(keys, n_steps)
+            st1 = jax.tree.map(lambda x: x[0], states)
+            st1, rows1 = block_single(st1, step_keys[0, 1:])
+            return (jax.tree.map(lambda x: x[None], st1),
+                    jax.tree.map(lambda x: x[None], rows1), next_keys)
+
+        def _pipe_vmap(states, keys, n_steps):
+            step_keys, next_keys = _split_keys(keys, n_steps)
+            states, rows = jax.vmap(block)(states, step_keys[:, 1:])
+            return states, rows, next_keys
+
+        def _pipe_coupled(states, keys, n_steps):
+            step_keys, next_keys = _split_keys(keys, n_steps)
+            states, rows_sc = jax.lax.scan(coupled, states, step_keys[0, 1:])
+            # [B, C, ...] -> [C, B, ...]
+            rows = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), rows_sc)
+            return states, rows, next_keys
+
+        self._pipe_single = jax.jit(_pipe_single, static_argnums=2)
+        self._pipe_vmap = jax.jit(_pipe_vmap, static_argnums=2)
+        self._pipe_coupled = jax.jit(_pipe_coupled, static_argnums=2)
         self._summary = jax.jit(
             jax.vmap(lambda st: summarize(st, data, cfg, self.trace_k))
         )
@@ -413,40 +449,41 @@ class MCMCRunner:
         )(keys)
 
     def run_block(self, states: CRPState, keys, n_steps: int):
-        step_keys = jax.vmap(
-            lambda k: jax.random.split(k, n_steps + 1)
-        )(keys)
-        next_keys = step_keys[:, 0]
         if self._block_sharded is not None:
+            step_keys = jax.vmap(
+                lambda k: jax.random.split(k, n_steps + 1)
+            )(keys)
+            next_keys = step_keys[:, 0]
             states = self._pad_state_muts(states)
             states, rows = self._block_sharded(states, step_keys[:, 1:])
             rows = rows._replace(params=rows.params[..., :self.cfg.n_muts])
             return states, rows, next_keys
         if keys.shape[0] == 1:
-            st1 = jax.tree.map(lambda x: x[0], states)
-            st1, rows1 = self._block_single(st1, step_keys[0, 1:])
-            states = jax.tree.map(lambda x: x[None], st1)
-            rows = jax.tree.map(lambda x: x[None], rows1)
-        elif self.mcmc_cfg.coupled_moves and self.chain_exec == "vmap":
+            return self._pipe_single(states, keys, n_steps)
+        if self.mcmc_cfg.coupled_moves and self.chain_exec == "vmap":
             # One shared key stream drives the move schedule; per-chain
             # randomness is split from it inside the step.
-            states, rows_sc = self._block_coupled(states, step_keys[0, 1:])
-            # [B, C, ...] -> [C, B, ...]
-            rows = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), rows_sc)
-        elif self.chain_exec == "sequential":
-            outs = []
-            for c in range(keys.shape[0]):
-                st_c = jax.tree.map(lambda x: x[c], states)
-                outs.append(self._block_single(st_c, step_keys[c, 1:]))
+            return self._pipe_coupled(states, keys, n_steps)
+        if self.chain_exec == "sequential":
+            # Per-chain single-chain programs (see __init__ notes). The
+            # [c:c+1] slice keeps the chain axis so each chain reuses the
+            # SAME compiled pipeline as an actual single-chain run.
+            outs = [
+                self._pipe_single(
+                    jax.tree.map(lambda x: x[c:c + 1], states),
+                    keys[c:c + 1], n_steps,
+                )
+                for c in range(keys.shape[0])
+            ]
             states = jax.tree.map(
-                lambda *xs: jnp.stack(xs), *[o[0] for o in outs]
+                lambda *xs: jnp.concatenate(xs), *[o[0] for o in outs]
             )
             rows = jax.tree.map(
-                lambda *xs: jnp.stack(xs), *[o[1] for o in outs]
+                lambda *xs: jnp.concatenate(xs), *[o[1] for o in outs]
             )
-        else:
-            states, rows = self._block(states, step_keys[:, 1:])
-        return states, rows, next_keys
+            next_keys = jnp.concatenate([o[2] for o in outs])
+            return states, rows, next_keys
+        return self._pipe_vmap(states, keys, n_steps)
 
     # -- top-level run (libs/MCMC.py:79-123) -------------------------------
 

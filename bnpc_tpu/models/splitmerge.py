@@ -83,11 +83,6 @@ def _beta_posterior_row(key, cfg, n1, n0):
     return jnp.clip(draw, TMIN, TMAX).astype(jnp.float32)
 
 
-def _normalize_log2(pair):
-    """2-way log-normalization (libs/CRP.py:104-116)."""
-    return pair - jax.scipy.special.logsumexp(pair)
-
-
 def _side_masks(ctx: _MoveCtx, rg):
     """f32 cell masks of launch side 0 (incl anchor i) and side 1 (incl j)."""
     n = rg.shape[0]
@@ -204,13 +199,60 @@ def _rg_init(key, ctx: _MoveCtx, state: CRPState, data: PackedData,
     return _RGState(rg, params_split, params_merge)
 
 
+def _trans_prob_replay(ctx: _MoveCtx, order, rg_launch, rg_final, ll2,
+                       dp_alpha):
+    """Chosen-log-probability sum of a completed restricted scan, vectorized.
+
+    The scan's count evolution is deterministic given its launch and final
+    side vectors: when cell order[t] is visited, the side-1 count over
+    S \\ {cell} is (# earlier-visited s-cells, at their FINAL side 1) +
+    (# later-visited s-cells, still at their LAUNCH side 1). So the
+    sequential accumulation of libs/CRP.py:622-630 collapses to prefix/suffix
+    sums in visit order — the same trick as the merge reverse path below.
+    """
+    in_s = ctx.s_mask[order].astype(jnp.float32)              # visit order
+    fin = rg_final[order].astype(jnp.float32) * in_s
+    lau = rg_launch[order].astype(jnp.float32) * in_s
+    prefix_fin = jnp.cumsum(fin) - fin
+    suffix_lau = jnp.cumsum(lau[::-1])[::-1] - lau
+    s1 = prefix_fin + suffix_lau
+    n_j = s1 + 1.0
+    n_i = ctx.n_move - s1 - 2.0
+    log_denom = jnp.log(ctx.n_move - 1.0 + dp_alpha)
+    logpost = ll2[order] + jnp.log(jnp.stack([n_i, n_j], axis=1)) - log_denom
+    logp = logpost - jax.scipy.special.logsumexp(logpost, axis=1,
+                                                 keepdims=True)
+    chosen = jnp.take_along_axis(
+        logp, rg_final[order][:, None], axis=1
+    )[:, 0]
+    # where, not multiply: non-movable positions can hold nan/-inf rows.
+    return jnp.sum(jnp.where(in_s > 0.0, chosen, 0.0))
+
+
 def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
                     data: PackedData, cfg: ModelConfig, trans_prob: bool,
-                    random_order: bool = True, ax: MutAxis = _NO_AXIS):
+                    random_order: bool = True, ax: MutAxis = _NO_AXIS,
+                    impl: str = "scan"):
     """Sequential restricted 2-way Gibbs over the non-anchor cells.
 
     Reference: _rg_scan_assign (libs/CRP.py:609-632). Returns (rg, sum of
     chosen log-probabilities) — the sum is only meaningful when `trans_prob`.
+
+    The 2-way draw reduces to one scalar comparison per cell: with hoisted
+    Gumbel noise, side 1 wins iff
+
+        dz[cell] + log(n_j) - log(n_i) > 0,
+        dz = (ll2[:,1]+g1) - (ll2[:,0]+g0)
+
+    (the CRP denominator and the 2-way normalization are side-independent
+    shifts, so they cancel; the reference's explicit normalize-then-sample,
+    libs/CRP.py:622-628, draws from the identical distribution). The side
+    counts are integers, so the logs are table lookups, and the chosen-
+    probability sum of the trans_prob path is replayed vectorized afterwards
+    (_trans_prob_replay). impl="pallas" runs the whole scan as scalar SMEM
+    work in one kernel (bnpc_tpu/ops/pallas_rg.py); impl="scan" is the
+    equivalent chunked lax.scan (bit-identical in interpreter mode,
+    tests/test_pallas_rg.py).
     """
     n = cfg.n_cells
     k_perm, k_gumbel = jax.random.split(key)
@@ -220,18 +262,8 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
         base = jnp.arange(n)
     # Visit the move's cells FIRST (their relative order is still a uniform
     # random permutation of S — exactly the reference's distribution,
-    # libs/CRP.py:616), then chunk the scan and lax.cond-skip chunks that
-    # contain no movable cell. Typical moves touch one or two clusters, so
-    # the effective trip count is |S| rounded up to a chunk, not n.
+    # libs/CRP.py:616): the effective trip count is |S|, not n.
     order = base[jnp.argsort(~ctx.s_mask[base], stable=True)]
-    chunk = min(256, n)
-    n_chunks = -(-n // chunk)
-    # Pad with an anchor id: anchors are never in S, so padding is a no-op.
-    order = jnp.concatenate([
-        order,
-        jnp.full((n_chunks * chunk - n,), ctx.anchor_i, dtype=order.dtype),
-    ]).reshape(n_chunks, chunk)
-    chunk_has = jax.vmap(lambda oc: jnp.any(ctx.s_mask[oc]))(order)
 
     # All randomness hoisted: per-cell Gumbel noise replaces the in-scan
     # categorical draw (identical distribution, zero threefry in the body).
@@ -242,70 +274,72 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
     c1, c0 = lk.log_prob_tables(params_split, state.fp, state.fn)  # [2, m]
     ll2 = ax.psum(data.xm @ c1.T + data.xm0 @ c0.T)  # [n, 2]
 
-    log_denom = jnp.log(ctx.n_move - 1.0 + state.dp_alpha)
-    count1_init = jnp.sum(jnp.where(ctx.s_mask, rg, 0)).astype(jnp.float32)
+    z = ll2 + gumbel
+    dz = z[:, 1] - z[:, 0]
+    logtab = jnp.log(jnp.arange(n + 2, dtype=jnp.float32))
+    s_count = jnp.sum(ctx.s_mask).astype(jnp.int32)
+    count1_init = jnp.sum(jnp.where(ctx.s_mask, rg, 0)).astype(jnp.int32)
+    n_move_i = ctx.n_move.astype(jnp.int32)
 
-    if trans_prob:
-        # Full path: also accumulate the chosen log-probabilities.
-        def body(carry, cell):
-            rg, count1, acc = carry
-            in_s = ctx.s_mask[cell]
-            s1 = count1 - jnp.where(in_s, rg[cell], 0).astype(jnp.float32)
-            n_j = s1 + 1.0
-            n_i = ctx.n_move - s1 - 2.0
-            logpost = ll2[cell] + jnp.log(jnp.stack([n_i, n_j])) - log_denom
-            logp = _normalize_log2(logpost)
-            draw = jnp.argmax(logp + gumbel[cell]).astype(jnp.int32)
-            new = jnp.where(in_s, draw, rg[cell])
-            acc = acc + jnp.where(in_s, logp[draw], 0.0)
-            rg = rg.at[cell].set(new)
-            count1 = s1 + jnp.where(in_s, new, 0).astype(jnp.float32)
-            return (rg, count1, acc), None
+    if impl == "pallas":
+        from bnpc_tpu.ops.pallas_rg import rg_scan
 
-        carry0 = (rg, count1_init, 0.0)
+        visited = rg_scan(dz, order, rg, logtab, s_count, count1_init,
+                          n_move_i)
+        rg_new = jnp.where(ctx.s_mask, visited, rg)
     else:
-        # Launch-only path: the Gumbel argmax is invariant to the
-        # log-sum-exp shift, so skip the normalization and the accumulator.
+        chunk = min(256, n)
+        n_chunks = -(-n // chunk)
+        # Pad with an anchor id: anchors are never in S, so padding is a
+        # no-op; chunks with no movable cell are lax.cond-skipped.
+        order_c = jnp.concatenate([
+            order,
+            jnp.full((n_chunks * chunk - n,), ctx.anchor_i,
+                     dtype=order.dtype),
+        ]).reshape(n_chunks, chunk)
+        chunk_has = jax.vmap(lambda oc: jnp.any(ctx.s_mask[oc]))(order_c)
+
         def body(carry, cell):
             rg, count1 = carry
             in_s = ctx.s_mask[cell]
-            s1 = count1 - jnp.where(in_s, rg[cell], 0).astype(jnp.float32)
-            n_j = s1 + 1.0
-            n_i = ctx.n_move - s1 - 2.0
-            logpost = ll2[cell] + jnp.log(jnp.stack([n_i, n_j]))
-            draw = jnp.argmax(logpost + gumbel[cell]).astype(jnp.int32)
+            cur = jnp.where(in_s, rg[cell], 0)
+            s1 = count1 - cur
+            margin = dz[cell] + logtab[s1 + 1] \
+                - logtab[n_move_i - s1 - 2]
+            draw = (margin > 0.0).astype(jnp.int32)
             new = jnp.where(in_s, draw, rg[cell])
             rg = rg.at[cell].set(new)
-            count1 = s1 + jnp.where(in_s, new, 0).astype(jnp.float32)
+            count1 = s1 + jnp.where(in_s, new, 0)
             return (rg, count1), None
 
-        carry0 = (rg, count1_init)
+        def chunk_body(carry, xs):
+            order_chunk, has = xs
+            carry = jax.lax.cond(
+                has,
+                lambda c: jax.lax.scan(body, c, order_chunk, unroll=4)[0],
+                lambda c: c,
+                carry,
+            )
+            return carry, None
 
-    def chunk_body(carry, xs):
-        order_chunk, has = xs
-        carry = jax.lax.cond(
-            has,
-            lambda c: jax.lax.scan(body, c, order_chunk, unroll=4)[0],
-            lambda c: c,
-            carry,
+        (rg_new, _), _ = jax.lax.scan(
+            chunk_body, (rg, count1_init), (order_c, chunk_has)
         )
-        return carry, None
 
-    carry, _ = jax.lax.scan(chunk_body, carry0, (order, chunk_has))
     if trans_prob:
-        rg, _, acc = carry
-        return rg, acc
-    rg, _ = carry
-    return rg, jnp.float32(0.0)
+        acc = _trans_prob_replay(ctx, order, rg, rg_new, ll2, state.dp_alpha)
+        return rg_new, acc
+    return rg_new, jnp.float32(0.0)
 
 
 def _rg_scan_split(key, ctx, rgs: _RGState, state, data, cfg,
-                   trans_prob: bool, ax: MutAxis = _NO_AXIS):
+                   trans_prob: bool, ax: MutAxis = _NO_AXIS,
+                   impl: str = "scan"):
     """One launch scan of the split configuration (libs/CRP.py:570-606)."""
     k_assign, k_par = jax.random.split(key)
     rg, prob_cl = _rg_scan_assign(
         k_assign, ctx, rgs.rg, rgs.params_split, state, data, cfg, trans_prob,
-        ax=ax,
+        ax=ax, impl=impl,
     )
     side0, side1 = _side_masks(ctx, rg)
     n1 = jnp.stack([side0 @ data.xm, side1 @ data.xm])
@@ -419,7 +453,9 @@ def _reverse_split_prob(key, ctx, rgs: _RGState, state, data, cfg,
     logp = logpost - jax.scipy.special.logsumexp(logpost, axis=1,
                                                  keepdims=True)
     chosen = jnp.take_along_axis(logp, orig[:, None], axis=1)[:, 0]
-    prob_assign = jnp.sum(chosen * in_s)
+    # where, not multiply: at a non-movable position the forced side count
+    # can be 0 (chosen = -inf) and -inf * 0 would poison the sum with nan.
+    prob_assign = jnp.sum(jnp.where(in_s > 0.0, chosen, 0.0))
     return prob_param_i + prob_param_j + prob_assign
 
 
@@ -428,13 +464,33 @@ def _reverse_split_prob(key, ctx, rgs: _RGState, state, data, cfg,
 # ---------------------------------------------------------------------------
 
 
+def rg_pallas_available(ax: MutAxis = _NO_AXIS) -> bool:
+    """Whether the scalar-SMEM restricted-scan kernel can run here: TPU
+    backend and an unsharded mutation axis (the kernel is per-chip serial
+    SMEM work — it has no collective story, and under vmap the batched SMEM
+    state does not fit the scalar formulation)."""
+    import os
+
+    if os.environ.get("BNPC_TPU_PALLAS", "") == "0":
+        return False
+    return not ax.sharded and jax.default_backend() == "tpu"
+
+
 def split_merge(key, state: CRPState, data: PackedData, cfg: ModelConfig,
                 sm_split_ratio: float, sm_steps: int,
-                ax: MutAxis = _NO_AXIS):
+                ax: MutAxis = _NO_AXIS, impl: str = "auto"):
     """One split-merge proposal. Returns (state, counts[2, 2]) where
     counts[0] = (accepted, declined) split deltas and counts[1] the merge
     deltas (feeding MH_counter rows 1/2, libs/MCMC.py:320-328).
+
+    `impl` selects the restricted-scan backend: "auto" = the safe chunked
+    lax.scan everywhere; "auto_single" = the Pallas kernel when available
+    (unbatched chains on TPU only); "scan"/"pallas" force one.
     """
+    if impl == "auto":
+        impl = "scan"
+    elif impl == "auto_single":
+        impl = "pallas" if rg_pallas_available(ax) else "scan"
     n = cfg.n_cells
     (k_move, k_setup, k_init, k_scans, k_final, k_accept) = \
         jax.random.split(key, 6)
@@ -454,7 +510,8 @@ def split_merge(key, state: CRPState, data: PackedData, cfg: ModelConfig,
     # split and the merge configuration.
     def scan_body(rgs, kk):
         k1, k2 = jax.random.split(kk)
-        rgs, _ = _rg_scan_split(k1, ctx, rgs, state, data, cfg, False, ax=ax)
+        rgs, _ = _rg_scan_split(k1, ctx, rgs, state, data, cfg, False, ax=ax,
+                                impl=impl)
         rgs, _ = _rg_scan_merge(k2, ctx, rgs, state, data, cfg, False, ax=ax)
         return rgs, None
 
@@ -469,7 +526,7 @@ def split_merge(key, state: CRPState, data: PackedData, cfg: ModelConfig,
         # Final scan to the proposal state, with transition probabilities
         # (eq. 15 forward term).
         rgs2, gs_split = _rg_scan_split(k_f1, ctx, rgs, state, data, cfg,
-                                        True, ax=ax)
+                                        True, ax=ax, impl=impl)
         # Reverse: merge-launch -> original single cluster (eq. 15).
         std = mh.draw_proposal_std(ax.fold_key(k_f2),
                                    rgs.params_merge.shape)
