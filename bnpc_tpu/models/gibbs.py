@@ -140,6 +140,10 @@ def _scan_dense_impl(state, data, cfg, ax, perm, gumbel, fresh, new_post,
     f1, f0 = lk.log_prob_tables(fresh, state.fp, state.fn)
     lf = lk.ll_matrix(data, f1, f0, ax)   # [n, n]: cell x birth-cell
 
+    # Shared Z-formulation (see _scan_impl): Gumbel folded in up front.
+    z0 = ll0 + gumbel[:, :k_max]
+    aux = new_post + gumbel[:, k_max]
+
     def step(carry, cell):
         assignment, params, size, born_by = carry
 
@@ -149,15 +153,15 @@ def _scan_dense_impl(state, data, cfg, ax, perm, gumbel, fresh, new_post,
 
         born = born_by >= 0
         over = lf[cell, jnp.maximum(born_by, 0)]      # [k_max]
-        ll_row = jnp.where(born, over, ll0[cell])
+        z_row = jnp.where(born, over + gumbel[cell, :k_max], z0[cell])
 
-        log_size = jnp.log(jnp.maximum(size, 1).astype(jnp.float32))
-        post_old = jnp.where(live, ll_row + log_size - log_denom, NEG_INF)
+        prior = jnp.log(jnp.maximum(size, 1).astype(jnp.float32)) - log_denom
+        post_old = jnp.where(live, z_row + prior, NEG_INF)
         has_free = jnp.any(~live)
-        post_new = jnp.where(has_free, new_post[cell], NEG_INF)
+        post_new = jnp.where(has_free, aux[cell], NEG_INF)
         logits = jnp.concatenate([post_old, post_new[None]])
 
-        choice = jnp.argmax(logits + gumbel[cell]).astype(jnp.int32)
+        choice = jnp.argmax(logits).astype(jnp.int32)
         is_new = choice == k_max
         free = jnp.argmax(size == 0).astype(jnp.int32)
         target = jnp.where(is_new, free, choice).astype(jnp.int32)
@@ -192,8 +196,15 @@ def _scan_impl(state, data, cfg, ax, perm, gumbel, fresh, new_post,
     ll0 = lk.ll_matrix(data, c1, c0, ax)  # [n, k_max]
     f1, f0 = lk.log_prob_tables(fresh, state.fp, state.fn)
 
+    # Z-formulation: the Gumbel noise is folded into the likelihood matrix
+    # up front (Z = ll0 + gumbel), so the body carries/loads ONE row and the
+    # categorical draw is a plain argmax. All three implementations share
+    # this grouping — bit-identical in interpreter mode (tests/test_pallas).
+    z0 = ll0 + gumbel[:, :k_max]
+    aux = new_post + gumbel[:, k_max]
+
     def step(carry, cell):
-        assignment, params, size, ll = carry
+        assignment, params, size, z = carry
 
         # Remove the cell from its cluster (libs/CRP.py:262-266).
         old = assignment[cell]
@@ -201,35 +212,38 @@ def _scan_impl(state, data, cfg, ax, perm, gumbel, fresh, new_post,
         live = size > 0
 
         # Posterior over live slots + the new-cluster option.
-        log_size = jnp.log(jnp.maximum(size, 1).astype(jnp.float32))
-        post_old = jnp.where(live, ll[cell] + log_size - log_denom, NEG_INF)
+        prior = jnp.log(jnp.maximum(size, 1).astype(jnp.float32)) - log_denom
+        post_old = jnp.where(live, z[cell] + prior, NEG_INF)
         has_free = jnp.any(~live)
-        post_new = jnp.where(has_free, new_post[cell], NEG_INF)
+        post_new = jnp.where(has_free, aux[cell], NEG_INF)
         logits = jnp.concatenate([post_old, post_new[None]])
 
-        choice = jnp.argmax(logits + gumbel[cell]).astype(jnp.int32)
+        choice = jnp.argmax(logits).astype(jnp.int32)
         is_new = choice == k_max
         free = jnp.argmax(size == 0).astype(jnp.int32)
         target = jnp.where(is_new, free, choice).astype(jnp.int32)
 
         # Newborn cluster: patch the parameter row (a fresh Beta-posterior
-        # draw, libs/CRP.py:291-294) and refresh L's column for this slot so
-        # later cells in the permutation see the newborn cluster.
-        def birth(params, ll):
+        # draw, libs/CRP.py:291-294) and refresh Z's column for this slot so
+        # later cells in the permutation see the newborn cluster (with their
+        # own hoisted Gumbel noise for it).
+        def birth(params, z):
             params = params.at[free].set(fresh[cell])
             col = lk.ll_col(f1[cell], f0[cell],
                             data.xm, data.xm0, ax)  # [n]
-            return params, ll.at[:, free].set(col)
+            return params, z.at[:, free].set(
+                col + jnp.take(gumbel, free, axis=1)
+            )
 
-        params, ll = jax.lax.cond(
-            is_new, birth, lambda p, l: (p, l), params, ll
+        params, z = jax.lax.cond(
+            is_new, birth, lambda p, zz: (p, zz), params, z
         )
 
         size = size.at[target].add(1)
         assignment = assignment.at[cell].set(target)
-        return (assignment, params, size, ll), None
+        return (assignment, params, size, z), None
 
-    init = (state.assignment, state.params, state.cluster_size, ll0)
+    init = (state.assignment, state.params, state.cluster_size, z0)
     # Mild unroll amortizes While-loop control overhead (~9% on v5e).
     (assignment, params, size, _), _ = jax.lax.scan(step, init, perm,
                                                     unroll=4)
@@ -265,8 +279,12 @@ def _pallas_impl(state, data, cfg, perm, gumbel, fresh, new_post, log_denom,
     # cell order — the permutation is an in-kernel SMEM indirection, so no
     # gather/transpose passes are needed here.
     c1, c0 = lk.log_prob_tables(state.params, state.fp, state.fn)
-    ll0 = pad_n8(jnp.pad(
-        lk.ll_matrix(data, c1, c0), [(0, 0), (0, k_pad - k_max)]
+    # Z-formulation (see _scan_impl): the hoisted Gumbel noise is folded
+    # into the resident matrix up front, so the kernel body loads ONE row
+    # per cell. `gum` is still passed for the rare birth-column patch.
+    z0 = pad_n8(jnp.pad(
+        lk.ll_matrix(data, c1, c0) + gumbel[:, :k_max],
+        [(0, 0), (0, k_pad - k_max)]
     ))  # [n8, k_pad]
     f1, f0 = lk.log_prob_tables(fresh, state.fp, state.fn)
     lf2 = pad_n8(jnp.pad(
@@ -287,7 +305,7 @@ def _pallas_impl(state, data, cfg, perm, gumbel, fresh, new_post, log_denom,
     )[:, None, :]
 
     assignment, sizes_out, params_out = pallas_sweep(
-        ll0, gum, lf2, fresh3, aux, state.assignment, perm,
+        z0, gum, lf2, fresh3, aux, state.assignment, perm,
         sizes, params3, log_denom, interpret=interpret,
     )
 

@@ -7,8 +7,9 @@ likelihood matrices the sweep can ever need are precomputed outside as large
 MXU matmuls (reference semantics: update_assignments_Gibbs,
 libs/CRP.py:254-299):
 
-  * ``ll0 [n, k_pad]`` — every cell against every current slot's parameters;
-    staged once into a VMEM-resident working matrix ``V``;
+  * ``ll0 [n, k_pad]`` — every cell against every current slot's
+    parameters, with the cell's hoisted Gumbel noise folded in
+    (Z = ll0 + gumbel), staged once into a VMEM-resident working matrix;
   * ``lf [n, n]`` — every cell against every cell's pre-drawn newborn
     (Beta-posterior) parameter row; a birth's column patch is one DMA of a
     128-lane-aligned column slice.
@@ -65,7 +66,8 @@ def _round_up(x: int, mult: int) -> int:
 
 def _sweep_kernel(
     # inputs
-    ll0_ref,        # [n8, k_pad] f32, ANY/HBM (absolute cell order)
+    ll0_ref,        # [n8, k_pad] f32, ANY/HBM — Z = ll0 + gumbel
+    #                 (absolute cell order)
     gum_ref,        # [n8, k_pad] f32, VMEM-resident (absolute cell order)
     lf2_ref,        # [n8, nb*128] f32, ANY/HBM — lf2[j, b] = ll(cell j |
     #                 fresh row of cell b)
@@ -114,14 +116,15 @@ def _sweep_kernel(
         old = assign_in_ref[cell]
         sizes = sizes_out_ref[0, :] - (iota_k == old).astype(jnp.float32)
 
+        # Z-formulation: the resident matrix already carries the hoisted
+        # Gumbel noise (models/gibbs.py), so ONE row load + the size prior
+        # is the whole categorical.
         v = v_scr[pl.ds(cell, 1), :][0]
-        gum = gum_ref[pl.ds(cell, 1), :][0]
 
         # Posterior over live slots + the new-cluster option.
         live = sizes > 0.0
-        post_old = jnp.where(
-            live, v + jnp.log(jnp.maximum(sizes, 1.0)) - log_denom, NEG_INF)
-        logits = post_old + gum
+        prior = jnp.log(jnp.maximum(sizes, 1.0)) - log_denom
+        logits = jnp.where(live, v + prior, NEG_INF)
         best_old = jnp.max(logits)
         idx_old = jnp.argmax(logits).astype(jnp.int32)
 
@@ -150,7 +153,13 @@ def _sweep_kernel(
             col = jnp.sum(
                 colblk[...] * (lane128 == lane).astype(jnp.float32),
                 axis=1, keepdims=True)                       # [n, 1]
-            v_scr[...] = jnp.where(lane_iota == free, col, v_scr[...])
+            # The newborn slot's Z column carries every cell's own hoisted
+            # Gumbel noise for it (one-hot extraction of gum's lane).
+            gcol = jnp.sum(
+                gum_ref[...] * (lane_iota == free).astype(jnp.float32),
+                axis=1, keepdims=True)                       # [n, 1]
+            v_scr[...] = jnp.where(lane_iota == free, col + gcol,
+                                   v_scr[...])
             prow_dma.wait()
 
         sizes_out_ref[0, :] = sizes + (iota_k == target).astype(jnp.float32)
@@ -165,7 +174,8 @@ def pallas_sweep(ll0, gum, lf2, fresh3, aux, assign, perm, sizes, params3,
                  log_denom, *, interpret=False):
     """Run the fused sweep. All arrays in ABSOLUTE cell order, pre-padded:
 
-    ll0: [n8, k_pad]; gum: [n8, k_pad]; lf2: [n8, nb*128] where n8 = n
+    ll0: [n8, k_pad] the Gumbel-folded Z matrix (ll0 + gumbel);
+    gum: [n8, k_pad]; lf2: [n8, nb*128] where n8 = n
     rounded up to the f32 sublane tile (8) and nb = ceil(n/128);
     fresh3: [n, 1, m_pad]; aux: [n] (new-cluster logit + gumbel);
     assign: [n] i32; perm: [n] i32 visit order; sizes: [k_pad] f32 with -1
