@@ -42,13 +42,18 @@ def run_config(name, n, m, k_clones, missing, n_chains, steps, seed=1):
                       fp_sd=0.01, fn_sd=0.1)
     mcmc_cfg = MCMCConfig(sm_prob=0.33, dpa_prob=0.25, error_prob=0.25,
                           sm_steps=3)
-    runner = MCMCRunner(cfg, mcmc_cfg, pack_data(data), block_size=64)
+    # block_size divides `steps` so the timed run reuses ONE compiled block
+    # pipeline (a remainder block would compile a second program mid-run).
+    block = 100 if steps % 100 == 0 else 64
+    runner = MCMCRunner(cfg, mcmc_cfg, pack_data(data), block_size=block)
 
-    # Warm-up compile.
+    # Warm-up compile of every program the timed run will execute: the
+    # block pipeline at its exact shape and the initial-row summarizer.
     st = runner.init_chains(jax.random.key(0), n_chains)
     ks = jax.random.split(jax.random.key(0), n_chains)
-    _ = runner.run_block(st, ks, 64)
+    _ = runner.run_block(st, ks, block)
     jax.block_until_ready(_[1].ml)
+    jax.block_until_ready(runner._summarize_states(st).ml)
 
     t0 = time.perf_counter()
     results = runner.run((steps, steps // 3), seed=seed, n_chains=n_chains)

@@ -325,9 +325,19 @@ class _TraceBuffer:
         self.n_chains = n_chains
 
     def append(self, rows: TraceRow):
-        self.rows.append(jax.tree.map(np.asarray, rows))
+        # Start the device->host copy immediately and materialize with a
+        # one-block delay, so the transfer of block i overlaps the sampling
+        # of block i+1 (the param trace is tens of MB at headline scale and
+        # a blocking per-block np.asarray serialized it with compute).
+        for leaf in jax.tree.leaves(rows):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        if self.rows:
+            self.rows[-1] = jax.tree.map(np.asarray, self.rows[-1])
+        self.rows.append(rows)
 
     def concat(self) -> TraceRow:
+        self.rows = [jax.tree.map(np.asarray, r) for r in self.rows]
         return jax.tree.map(
             lambda *xs: np.concatenate(xs, axis=1), *self.rows
         )
@@ -374,14 +384,22 @@ class MCMCRunner:
             self._block_sharded = _psh.make_sharded_block(
                 mesh, cfg, mcmc_cfg, self._data_pad)
         # How to execute a chain batch on a single device: "vmap" batches
-        # them into one program (wins for small problems), "sequential" runs
-        # the single-chain program per chain (wins for large n, where batched
-        # scatter/gather lowering and the [C, n, k] likelihood carries make
-        # the vmapped scan slower than 1 chain). "auto" picks by state size.
+        # them into one program, "sequential" runs the single-chain program
+        # per chain. Sequential wins whenever the fused Pallas kernels are
+        # available (they cannot run under vmap; measured 985 vs 254 total
+        # chain-steps/s at 4 x 1,000 x 100 on v5e) and also for large states
+        # on any backend (batched scatter/gather lowering and the [C, n, k]
+        # likelihood carries make the vmapped scan slower than 1 chain).
+        # With a multi-device mesh, vmap + chain sharding keeps chains on
+        # separate chips — sequential would serialize them on one.
         if chain_exec == "auto":
+            from bnpc_tpu.models.gibbs import pallas_available
+
+            single_dev = len(jax.devices()) == 1
             chain_exec = (
                 "sequential"
-                if cfg.n_cells * cfg.k_max >= 600_000 and len(jax.devices()) == 1
+                if single_dev and (pallas_available(cfg)
+                                   or cfg.n_cells * cfg.k_max >= 600_000)
                 else "vmap"
             )
         self.chain_exec = chain_exec
