@@ -88,7 +88,11 @@ def coclustering_similarity(assignments: np.ndarray,
     Device-accelerated equivalent of 1 - get_dist (libs/utils.py:90-97):
     sim[i, j] = fraction of posterior samples assigning i and j together.
     """
-    return np.asarray(_coclustering_device(assignments, chunk)) \
+    from bnpc_tpu.utils.transfer import to_host
+
+    # Chunked fetch: at n = 5,000 this matrix is 100 MB and a single
+    # np.asarray takes minutes over the tunneled device (utils/transfer.py).
+    return to_host(_coclustering_device(assignments, chunk)) \
         .astype(np.float64)
 
 

@@ -33,6 +33,7 @@ from bnpc_tpu.models.updates import (
 from bnpc_tpu.ops import likelihood as lk
 from bnpc_tpu.parallel.axis import MutAxis
 from bnpc_tpu.state import CRPState, cluster_stats, init_state
+from bnpc_tpu.utils import transfer
 from bnpc_tpu import diagnostics
 
 _NO_AXIS = MutAxis()
@@ -325,19 +326,20 @@ class _TraceBuffer:
         self.n_chains = n_chains
 
     def append(self, rows: TraceRow):
-        # Start the device->host copy immediately and materialize with a
-        # one-block delay, so the transfer of block i overlaps the sampling
-        # of block i+1 (the param trace is tens of MB at headline scale and
-        # a blocking per-block np.asarray serialized it with compute).
-        for leaf in jax.tree.leaves(rows):
-            if hasattr(leaf, "copy_to_host_async"):
-                leaf.copy_to_host_async()
+        # Start the device->host copies immediately (chunked for large
+        # leaves — utils/transfer.py) and materialize with a one-block
+        # delay, so the transfer of block i overlaps the sampling of block
+        # i+1. The param trace is tens of MB at headline scale: a blocking
+        # per-block np.asarray serialized it with compute, and a whole-
+        # buffer async copy takes the relay's pathological big-transfer
+        # path.
+        rows = transfer.start_fetch(rows)
         if self.rows:
-            self.rows[-1] = jax.tree.map(np.asarray, self.rows[-1])
+            self.rows[-1] = transfer.finish_fetch(self.rows[-1])
         self.rows.append(rows)
 
     def concat(self) -> TraceRow:
-        self.rows = [jax.tree.map(np.asarray, r) for r in self.rows]
+        self.rows = [transfer.finish_fetch(r) for r in self.rows]
         return jax.tree.map(
             lambda *xs: np.concatenate(xs, axis=1), *self.rows
         )

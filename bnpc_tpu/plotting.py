@@ -166,8 +166,11 @@ def plot_genotypes(data_in: pd.DataFrame, data_raw_in=None, out_file=None,
         data_raw_in.copy() if data_raw_in is not None else pd.DataFrame()
     )
 
-    height = max(int(data.shape[0] // 5), 2)
-    width = max(int(data.shape[1] // 10), 4)
+    # Reference sizing (libs/plotting.py:70-71), capped: at thousands of
+    # cells the uncapped formula yields a 500-inch canvas that takes
+    # minutes to render and is unreadable anyway.
+    height = min(max(int(data.shape[0] // 5), 2), 60)
+    width = min(max(int(data.shape[1] // 10), 4), 120)
 
     cluster_cols = None
     x_labels = data_in.columns
@@ -220,15 +223,25 @@ def plot_genotypes(data_in: pd.DataFrame, data_raw_in=None, out_file=None,
         linewidths=0, linecolor="lightgray",
         col_colors=cluster_cols, col_cluster=False, row_cluster=False,
         figsize=(width, height),
+        # Large matrices: store the mesh as an image instead of ~1M vector
+        # quads — same rendered artifact at the used dpi, minutes faster to
+        # write and orders of magnitude smaller on disk.
+        rasterized=data.size > 30_000,
     )
     cm.cax.set_visible(False)
     cm.ax_row_dendrogram.set_visible(False)
     for side in ("top", "right", "bottom", "left"):
         cm.ax_heatmap.spines[side].set_visible(True)
-    cm.ax_heatmap.set_yticks(np.arange(0.5, data.shape[0], 1))
-    cm.ax_heatmap.set_xticks(np.arange(0.5, data.shape[1], 1))
-    cm.ax_heatmap.set_xticklabels(x_labels, rotation=90, fontsize=8)
-    cm.ax_heatmap.set_yticklabels(data.index, fontsize=8)
+    # Per-cell/mutation tick labels match the reference up to the point
+    # where they cannot physically fit on the capped canvas.
+    if data.shape[0] <= 600:
+        cm.ax_heatmap.set_yticks(np.arange(0.5, data.shape[0], 1))
+        cm.ax_heatmap.set_yticklabels(data.index, fontsize=8)
+    if data.shape[1] <= 1500:
+        cm.ax_heatmap.set_xticks(np.arange(0.5, data.shape[1], 1))
+        cm.ax_heatmap.set_xticklabels(x_labels, rotation=90, fontsize=8)
+    else:
+        cm.ax_heatmap.set_xticks([])
 
     if not out_file:
         plt.show()
