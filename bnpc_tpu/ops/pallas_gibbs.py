@@ -68,7 +68,7 @@ def _sweep_kernel(
     # inputs
     ll0_ref,        # [n8, k_pad] f32, ANY/HBM — Z = ll0 + gumbel
     #                 (absolute cell order)
-    gum_ref,        # [n8, k_pad] f32, VMEM-resident (absolute cell order)
+    gum_ref,        # [n8, k_pad] f32, ANY/HBM (birth-only use)
     lf2_ref,        # [n8, nb*128] f32, ANY/HBM — lf2[j, b] = ll(cell j |
     #                 fresh row of cell b)
     fresh3_ref,     # [n, 1, m_pad] f32, ANY/HBM — newborn parameter rows
@@ -139,6 +139,11 @@ def _sweep_kernel(
 
         # Newborn cluster: patch the slot's parameter row (HBM->HBM) and its
         # V column (one contiguous [n, 128] block DMA + masked-lane merge).
+        # The newborn slot's Z column carries every cell's own hoisted
+        # Gumbel noise for it; gum lives in HBM (it is only touched on the
+        # rare birth), so its lane block is a second DMA through the same
+        # staging buffer. Both merges write lane `free`, so the final value
+        # is col + gcol exactly as the scan computes it.
         @pl.when(is_new)
         def _():
             start = pl.multiple_of(jax.lax.div(cell, 128) * 128, 128)
@@ -153,12 +158,17 @@ def _sweep_kernel(
             col = jnp.sum(
                 colblk[...] * (lane128 == lane).astype(jnp.float32),
                 axis=1, keepdims=True)                       # [n, 1]
-            # The newborn slot's Z column carries every cell's own hoisted
-            # Gumbel noise for it (one-hot extraction of gum's lane).
+            v_scr[...] = jnp.where(lane_iota == free, col, v_scr[...])
+            gstart = pl.multiple_of(jax.lax.div(free, 128) * 128, 128)
+            glane = jax.lax.rem(free, 128)
+            g_dma = pltpu.make_async_copy(
+                gum_ref.at[:, pl.ds(gstart, 128)], colblk, col_sem)
+            g_dma.start()
+            g_dma.wait()
             gcol = jnp.sum(
-                gum_ref[...] * (lane_iota == free).astype(jnp.float32),
+                colblk[...] * (lane128 == glane).astype(jnp.float32),
                 axis=1, keepdims=True)                       # [n, 1]
-            v_scr[...] = jnp.where(lane_iota == free, col + gcol,
+            v_scr[...] = jnp.where(lane_iota == free, v_scr[...] + gcol,
                                    v_scr[...])
             prow_dma.wait()
 
@@ -195,8 +205,8 @@ def pallas_sweep(ll0, gum, lf2, fresh3, aux, assign, perm, sizes, params3,
             jax.ShapeDtypeStruct((k_pad, 1, m_pad), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # ll0
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # gum
+            pl.BlockSpec(memory_space=pl.ANY),      # ll0 (Z)
+            pl.BlockSpec(memory_space=pl.ANY),      # gum (birth-only)
             pl.BlockSpec(memory_space=pl.ANY),      # lf2
             pl.BlockSpec(memory_space=pl.ANY),      # fresh3
             pl.BlockSpec(memory_space=pltpu.SMEM),  # aux
@@ -234,6 +244,9 @@ def pallas_sweep(ll0, gum, lf2, fresh3, aux, assign, perm, sizes, params3,
 
 
 def vmem_budget_bytes(n: int, k_max: int) -> int:
-    """VMEM the kernel needs resident (V + gumbel + colblk), in bytes."""
+    """VMEM the kernel needs resident (V + colblk staging), in bytes.
+
+    The Gumbel matrix stays in HBM (only touched on births), so the fused
+    sweep fits e.g. 10,000 cells at k_max=128 on a 16 MB-VMEM core."""
     k_pad = _round_up(k_max, 128)
-    return 4 * (2 * n * k_pad + n * 128)
+    return 4 * (n * k_pad + n * 128)
