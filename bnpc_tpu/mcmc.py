@@ -449,6 +449,12 @@ class MCMCRunner:
         self._pipe_single = jax.jit(_pipe_single, static_argnums=2)
         self._pipe_vmap = jax.jit(_pipe_vmap, static_argnums=2)
         self._pipe_coupled = jax.jit(_pipe_coupled, static_argnums=2)
+        # Sequential-exec helpers: one dispatch to slice a chain out and one
+        # to restack all chains (vs ~6 eager ops per pytree leaf).
+        self._slice_chain = jax.jit(lambda tree, c: jax.tree.map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, c, 1, 0), tree))
+        self._stack_chains = jax.jit(lambda trees: jax.tree.map(
+            lambda *xs: jnp.concatenate(xs), *trees))
         self._summary = jax.jit(
             jax.vmap(lambda st: summarize(st, data, cfg, self.trace_k))
         )
@@ -486,23 +492,13 @@ class MCMCRunner:
             return self._pipe_coupled(states, keys, n_steps)
         if self.chain_exec == "sequential":
             # Per-chain single-chain programs (see __init__ notes). The
-            # [c:c+1] slice keeps the chain axis so each chain reuses the
+            # width-1 slice keeps the chain axis so each chain reuses the
             # SAME compiled pipeline as an actual single-chain run.
-            outs = [
-                self._pipe_single(
-                    jax.tree.map(lambda x: x[c:c + 1], states),
-                    keys[c:c + 1], n_steps,
-                )
-                for c in range(keys.shape[0])
-            ]
-            states = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs), *[o[0] for o in outs]
-            )
-            rows = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs), *[o[1] for o in outs]
-            )
-            next_keys = jnp.concatenate([o[2] for o in outs])
-            return states, rows, next_keys
+            outs = []
+            for c in range(keys.shape[0]):
+                st_c, keys_c = self._slice_chain((states, keys), c)
+                outs.append(self._pipe_single(st_c, keys_c, n_steps))
+            return self._stack_chains(tuple(outs))
         return self._pipe_vmap(states, keys, n_steps)
 
     # -- top-level run (libs/MCMC.py:79-123) -------------------------------
