@@ -173,9 +173,12 @@ def _mpear_scores_batch(sim_dev, sim_host: np.ndarray,
 def mpear_assignment(assignments: np.ndarray) -> np.ndarray:
     """Consensus assignment maximizing MPEAR over a Ward-linkage scan
     (libs/utils.py:100-129)."""
+    from bnpc_tpu.utils.transfer import to_host
+
     sim_dev = _coclustering_device(assignments)
-    # Transfer as f32 (half the bytes over a tunneled TPU link), widen on host.
-    sim = np.asarray(sim_dev).astype(np.float64)
+    # Chunked f32 transfer (100 MB at n=5,000 — see utils/transfer.py),
+    # widened on host.
+    sim = to_host(sim_dev).astype(np.float64)
     dist = squareform(1.0 - sim, checks=False)
     z = linkage(dist, method="ward")
 
