@@ -287,8 +287,12 @@ def _pallas_impl(state, data, cfg, perm, gumbel, fresh, new_post, log_denom,
         [(0, 0), (0, k_pad - k_max)]
     ))  # [n8, k_pad]
     f1, f0 = lk.log_prob_tables(fresh, state.fp, state.fn)
-    lf2 = pad_n8(jnp.pad(
-        lk.ll_matrix(data, f1, f0), [(0, 0), (0, nb * 128 - n)]
+    # Padding the TABLE rows makes the matmul write the padded [n8, nb*128]
+    # output directly — an explicit pad of the 100 MB result costs an extra
+    # full memory pass. Padded birth columns are never read.
+    pad_rows = [(0, nb * 128 - n), (0, 0)]
+    lf2 = pad_n8(lk.ll_matrix(
+        data, jnp.pad(f1, pad_rows), jnp.pad(f0, pad_rows)
     ))  # [n8, nb*128]: lf2[j, b] = ll(cell j | fresh row of cell b)
 
     gum = pad_n8(jnp.pad(gumbel[:, :k_max], [(0, 0), (0, k_pad - k_max)]))
