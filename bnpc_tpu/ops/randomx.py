@@ -9,8 +9,8 @@ pairs. That structure admits an exact, fixed-round, branch-free sampler:
 
   * Gamma(k) for k = p+1, q+1 in (1, 2] via Marsaglia-Tsang (2000) squeeze,
     vectorized over a FIXED number of rejection rounds with first-accept
-    semantics (acceptance per round is >96% for k in (1,2], so 5 rounds
-    leave a ~1e-7 never-accepted rate, patched with the distribution's mode
+    semantics (acceptance per round is >95% for k in (1,2], so 4 rounds
+    leave a ~6e-6 never-accepted rate, patched with the distribution's mode
     scale d — statistically invisible; KS-tested at 1e6 samples);
   * the small-shape boost Gamma(a) =d Gamma(a+1) * U^(1/a) applied ONLY
     where the data bit is 0 — reusing the same Gamma(a+1) field is valid
@@ -27,12 +27,12 @@ import jax
 import jax.numpy as jnp
 
 
-def mt_gamma(key, shape_param: float, shape, rounds: int = 5):
+def mt_gamma(key, shape_param: float, shape, rounds: int = 4):
     """Gamma(shape_param) for a STATIC scalar shape_param > 1/3, via
     fixed-round Marsaglia-Tsang rejection with first-accept semantics."""
     d = shape_param - 1.0 / 3.0
     c = 1.0 / jnp.sqrt(9.0 * d)
-    g = jnp.full(shape, d, jnp.float32)  # never-accepted fallback (~1e-7)
+    g = jnp.full(shape, d, jnp.float32)  # never-accepted fallback (~6e-6)
     accepted = jnp.zeros(shape, bool)
     for r in range(rounds):
         kx, ku, key = jax.random.split(key, 3)
