@@ -164,8 +164,11 @@ def parse_args(argv=None):
                           "over all devices when chains > 1.")
     tpu.add_argument("--coupled_moves", action="store_true", default=False,
                      help="Share the per-step move-type selection across "
-                          "chains (~2x multi-chain throughput on one chip; "
-                          "chains are then not strictly independent).")
+                          "vmapped chains (~2x multi-chain throughput when "
+                          "chains run batched; chains are then not strictly "
+                          "independent). Ignored on a single TPU chip, where "
+                          "sequential per-chain Pallas programs are faster "
+                          "and fully independent.")
 
     return parser.parse_args(argv)
 
