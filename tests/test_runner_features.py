@@ -111,6 +111,20 @@ def test_sequential_chain_exec_matches_vmap():
         np.testing.assert_allclose(a.ML, b.ML, rtol=1e-5, atol=1e-4)
 
 
+def test_chain_exec_auto_prefers_vmap_on_multi_device():
+    """With a multi-device backend (the 8 virtual CPU devices of this
+    suite), auto must keep vmap so chain sharding spreads chains across
+    chips — sequential would serialize them on one. (On a single TPU chip,
+    auto prefers sequential whenever the Pallas kernels are available.)"""
+    data, _ = make_problem(n=16, m=16, k_clones=2, seed=8)
+    cfg = ModelConfig(n_cells=16, n_muts=16, k_max=16, p=0.25, q=0.25,
+                      fp=0.01, fn=0.1)
+    from bnpc_tpu.data import pack_data as _pack
+
+    runner = MCMCRunner(cfg, MCMCConfig(), _pack(data), block_size=8)
+    assert runner.chain_exec == "vmap"
+
+
 def test_lugsail_checkpoint_resume(tmp_path):
     """Lugsail extension rounds persist state; a fresh runner resumes from
     the checkpoint instead of restarting from scratch."""
