@@ -85,6 +85,7 @@ def _sweep_kernel(
     # scratch
     v_scr,          # [n8, k_pad] f32 — the resident working likelihood matrix
     colblk,         # [n8, 128] f32 — birth-column staging block
+    free_scr,       # [1] i32 — first-free slot of the current iteration
     init_sem, pinit_sem, col_sem, prow_sem,
 ):
     # v_scr rows are padded to a sublane multiple; the loop runs over the
@@ -118,23 +119,33 @@ def _sweep_kernel(
 
         # Z-formulation: the resident matrix already carries the hoisted
         # Gumbel noise (models/gibbs.py), so ONE row load + the size prior
-        # is the whole categorical.
+        # is the whole categorical. Dead and padded lanes need no explicit
+        # mask: log(max(sizes, 0)) is -inf there (sizes uses a -1 sentinel
+        # on padded slots), and the live-lane values are bit-identical to
+        # the scan's where(live, z + prior, -inf).
         v = v_scr[pl.ds(cell, 1), :][0]
-
-        # Posterior over live slots + the new-cluster option.
-        live = sizes > 0.0
-        prior = jnp.log(jnp.maximum(sizes, 1.0)) - log_denom
-        logits = jnp.where(live, v + prior, NEG_INF)
+        logits = v + (jnp.log(jnp.maximum(sizes, 0.0)) - log_denom)
         best_old = jnp.max(logits)
         idx_old = jnp.argmax(logits).astype(jnp.int32)
 
-        free_mask = sizes == 0.0
-        has_free = jnp.any(free_mask)
-        post_new = jnp.where(has_free, aux_ref[cell], NEG_INF)
-        is_new = post_new > best_old
-        # First free slot. NOT jnp.argmax(free_mask): Mosaic's argmax does
-        # not return the first tied lane (measured).
-        free = jnp.min(jnp.where(free_mask, iota_k, k_pad)).astype(jnp.int32)
+        # The free-slot search (two vector reductions) only matters when
+        # the new-cluster option actually beats every occupied slot — rare
+        # at stationarity — so it runs under pl.when. free == k_pad means
+        # "no free slot": the birth is then vetoed, matching the masked
+        # post_new of the scan implementations.
+        cand = aux_ref[cell] > best_old
+        free_scr[0] = k_pad
+
+        @pl.when(cand)
+        def _():
+            # First free slot. NOT jnp.argmax: Mosaic's argmax does not
+            # return the first tied lane (measured).
+            free_scr[0] = jnp.min(
+                jnp.where(sizes == 0.0, iota_k, k_pad)
+            ).astype(jnp.int32)
+
+        free = free_scr[0]
+        is_new = cand & (free < k_pad)
         target = jnp.where(is_new, free, idx_old)
 
         # Newborn cluster: patch the slot's parameter row (HBM->HBM) and its
@@ -224,6 +235,7 @@ def pallas_sweep(ll0, gum, lf2, fresh3, aux, assign, perm, sizes, params3,
         scratch_shapes=[
             pltpu.VMEM((n_pad8, k_pad), jnp.float32),
             pltpu.VMEM((n_pad8, 128), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
