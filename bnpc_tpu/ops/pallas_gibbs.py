@@ -109,13 +109,14 @@ def _sweep_kernel(
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
-    def body(i, _):
+    def body(i, sizes_cur):
         cell = perm_ref[i]
         # Remove the cell from its cluster (libs/CRP.py:262-266). Each cell
         # is visited exactly once, so its pre-sweep assignment (input ref)
-        # is its current one.
+        # is its current one. The sizes row rides the loop carry (vector
+        # registers) instead of a VMEM read-modify-write per iteration.
         old = assign_in_ref[cell]
-        sizes = sizes_out_ref[0, :] - (iota_k == old).astype(jnp.float32)
+        sizes = sizes_cur - (iota_k == old).astype(jnp.float32)
 
         # Z-formulation: the resident matrix already carries the hoisted
         # Gumbel noise (models/gibbs.py), so ONE row load + the size prior
@@ -183,11 +184,11 @@ def _sweep_kernel(
                                    v_scr[...])
             prow_dma.wait()
 
-        sizes_out_ref[0, :] = sizes + (iota_k == target).astype(jnp.float32)
         assign_out_ref[cell] = target
-        return ()
+        return sizes + (iota_k == target).astype(jnp.float32)
 
-    jax.lax.fori_loop(0, n, body, (), unroll=False)
+    sizes_out_ref[0, :] = jax.lax.fori_loop(
+        0, n, body, sizes_out_ref[0, :], unroll=False)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
