@@ -377,6 +377,7 @@ class MCMCRunner:
             int(mesh.shape["muts"]) if mesh is not None
             and "muts" in mesh.axis_names else 1
         )
+        requested_exec = chain_exec  # pre-resolution; threads into shard_map
         self._block_sharded = None
         if self.mut_shards > 1:
             from bnpc_tpu.parallel import sharded as _psh
@@ -384,7 +385,27 @@ class MCMCRunner:
             self._data_pad, self._m_pad = _psh.pad_muts(
                 data, self.mut_shards)
             self._block_sharded = _psh.make_sharded_block(
-                mesh, cfg, mcmc_cfg, self._data_pad)
+                mesh, cfg, mcmc_cfg, self._data_pad,
+                chain_exec=requested_exec)
+        # Chain-sharded kernel path: with a multi-device backend (explicit
+        # chains mesh, or any multi-device default), blocks route through
+        # shard_map so each device runs its LOCAL chains unbatched and takes
+        # the fused Pallas fast path (see parallel/sharded.make_sharded_block)
+        # instead of the vmapped scan fallback. Used whenever the chain count
+        # divides the mesh's chain axis (run_block falls back otherwise).
+        self._chain_mesh = None
+        self._chain_block = None
+        if self._block_sharded is None:
+            from bnpc_tpu.parallel import sharded as _psh
+
+            if mesh is not None and "chains" in mesh.axis_names:
+                self._chain_mesh = mesh
+            elif mesh is None and len(jax.devices()) > 1:
+                self._chain_mesh = _psh.make_mesh(len(jax.devices()), 1)
+            if self._chain_mesh is not None:
+                self._chain_block = _psh.make_sharded_block(
+                    self._chain_mesh, cfg, mcmc_cfg, data,
+                    chain_exec=requested_exec)
         # How to execute a chain batch on a single device: "vmap" batches
         # them into one program, "sequential" runs the single-chain program
         # per chain. Sequential wins whenever the fused Pallas kernels are
@@ -449,6 +470,23 @@ class MCMCRunner:
         self._pipe_single = jax.jit(_pipe_single, static_argnums=2)
         self._pipe_vmap = jax.jit(_pipe_vmap, static_argnums=2)
         self._pipe_coupled = jax.jit(_pipe_coupled, static_argnums=2)
+        # Sharded (shard_map) paths share one pipe that folds the key
+        # splitting and the params un-padding into the jitted program (the
+        # eager per-block vmap-split costs several relay dispatches).
+        sh_block = (self._block_sharded if self._block_sharded is not None
+                    else self._chain_block)
+        self._pipe_sharded = None
+        if sh_block is not None:
+            m_real = cfg.n_muts
+
+            def _pipe_sharded(states, keys, n_steps):
+                step_keys, next_keys = _split_keys(keys, n_steps)
+                states, rows = sh_block(states, step_keys[:, 1:])
+                if rows.params.shape[-1] != m_real:
+                    rows = rows._replace(params=rows.params[..., :m_real])
+                return states, rows, next_keys
+
+            self._pipe_sharded = jax.jit(_pipe_sharded, static_argnums=2)
         # Sequential-exec helpers: one dispatch to slice a chain out and one
         # to restack all chains (vs ~6 eager ops per pytree leaf).
         self._slice_chain = jax.jit(lambda tree, c: jax.tree.map(
@@ -476,20 +514,17 @@ class MCMCRunner:
 
     def run_block(self, states: CRPState, keys, n_steps: int):
         if self._block_sharded is not None:
-            step_keys = jax.vmap(
-                lambda k: jax.random.split(k, n_steps + 1)
-            )(keys)
-            next_keys = step_keys[:, 0]
             states = self._pad_state_muts(states)
-            states, rows = self._block_sharded(states, step_keys[:, 1:])
-            rows = rows._replace(params=rows.params[..., :self.cfg.n_muts])
-            return states, rows, next_keys
+            return self._pipe_sharded(states, keys, n_steps)
         if keys.shape[0] == 1:
             return self._pipe_single(states, keys, n_steps)
         if self.mcmc_cfg.coupled_moves and self.chain_exec == "vmap":
             # One shared key stream drives the move schedule; per-chain
             # randomness is split from it inside the step.
             return self._pipe_coupled(states, keys, n_steps)
+        if (self._chain_block is not None
+                and keys.shape[0] % self._chain_mesh.shape["chains"] == 0):
+            return self._pipe_sharded(states, keys, n_steps)
         if self.chain_exec == "sequential":
             # Per-chain single-chain programs (see __init__ notes). The
             # width-1 slice keeps the chain axis so each chain reuses the
@@ -567,7 +602,10 @@ class MCMCRunner:
             n_dev = len(jax.devices())
             if n_dev <= 1 or n_chains <= 1:
                 return states, keys
-            mesh = Mesh(np.asarray(jax.devices()), ("chains",))
+            # Place inputs on the same mesh the chain-sharded block uses so
+            # shard_map needs no resharding on entry.
+            mesh = (self._chain_mesh if self._chain_mesh is not None
+                    else Mesh(np.asarray(jax.devices()), ("chains",)))
         if "chains" not in mesh.axis_names or                 n_chains % mesh.shape["chains"] != 0:
             return states, keys
         states = jax.tree.map(

@@ -58,6 +58,20 @@ def _hoisted_randomness(key, state, data, cfg, ax):
     return perm, gumbel, fresh
 
 
+def _is_batched(x) -> bool:
+    """True when `x` is being traced under vmap (a batched chain axis).
+
+    The fused kernels are unbatched-only; resolving to them under vmap
+    would hand the user a Mosaic lowering failure, so impl resolution falls
+    back to the scan (with a warning when the kernel was forced)."""
+    try:
+        from jax.interpreters.batching import BatchTracer
+    except ImportError:  # moved in jax 0.9
+        from jax._src.interpreters.batching import BatchTracer
+
+    return isinstance(x, BatchTracer)
+
+
 def pallas_available(cfg: ModelConfig, ax: MutAxis = _NO_AXIS) -> bool:
     """Whether the fused Pallas sweep can run here: TPU backend, unsharded
     mutation axis, and the resident V/Gumbel/column buffers fit in VMEM
@@ -92,6 +106,18 @@ def gibbs_sweep(key, state: CRPState, data: PackedData,
         )
     elif impl == "auto_single":
         impl = "pallas" if pallas_available(cfg, ax) else "scan"
+
+    if impl == "pallas" and _is_batched(state.assignment):
+        import warnings
+
+        warnings.warn(
+            "bnpc_tpu: the fused Pallas Gibbs sweep cannot run under vmapped"
+            " chains; falling back to the scan implementation. Run chains"
+            " unbatched (chain_exec='sequential' or a sharded chain mesh) to"
+            " use the kernel.",
+            stacklevel=2,
+        )
+        impl = "scan"
 
     perm, gumbel, fresh = _hoisted_randomness(key, state, data, cfg, ax)
 

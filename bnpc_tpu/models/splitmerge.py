@@ -491,6 +491,19 @@ def split_merge(key, state: CRPState, data: PackedData, cfg: ModelConfig,
         impl = "scan"
     elif impl == "auto_single":
         impl = "pallas" if rg_pallas_available(ax) else "scan"
+    if impl == "pallas":
+        from bnpc_tpu.models.gibbs import _is_batched
+
+        if _is_batched(state.assignment):
+            import warnings
+
+            warnings.warn(
+                "bnpc_tpu: the Pallas restricted-scan kernel cannot run"
+                " under vmapped chains; falling back to the scan"
+                " implementation.",
+                stacklevel=2,
+            )
+            impl = "scan"
     n = cfg.n_cells
     (k_move, k_setup, k_init, k_scans, k_final, k_accept) = \
         jax.random.split(key, 6)

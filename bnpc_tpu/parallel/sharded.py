@@ -92,16 +92,38 @@ def data_specs() -> PackedData:
     )
 
 
+def _drop_muts(specs):
+    """Replace the MUTS mesh axis with None in a pytree of PartitionSpecs
+    (for meshes that have no mutation axis)."""
+    return jax.tree.map(
+        lambda s: P(*[None if a == MUTS else a for a in s]),
+        specs, is_leaf=lambda x: isinstance(x, P),
+    )
+
+
 def make_sharded_block(mesh: Mesh, cfg: ModelConfig, mcmc_cfg: MCMCConfig,
-                       data: PackedData):
+                       data: PackedData, chain_exec: str = "auto"):
     """Jitted (states, step_keys) -> (states, TraceRows) over the mesh.
 
     `data` must already be padded with :func:`pad_muts` to the mesh's
     mutation-shard count; states carry a leading chain axis divisible by the
     chain-shard count. Trace rows come back with the full (padded) mutation
     axis on the params plane — slice to the real m on the host.
+
+    Per-device chain execution (`chain_exec`): the shard_map body sees the
+    LOCAL chain shard, so when the fused Pallas kernels are available on this
+    backend (TPU, unsharded mutation axis — models/gibbs.pallas_available)
+    the chains are run UNBATCHED — directly for a local count of 1 (chains
+    sharded 1:1 over chips, the natural mesh), else serially via a lax.scan
+    over the local chain axis — so every chip takes the fused-kernel fast
+    path instead of the vmapped scan fallback (measured 985 vs 254 total
+    chain-steps/s at 4 x 1,000 x 100 on one v5e chip). "vmap" forces the
+    batched body, "sequential" forces the serial one; "auto" picks
+    sequential when the kernels are available, the local count is 1, or the
+    state is large (same rule as MCMCRunner.chain_exec).
     """
-    n_mut_shards = mesh.shape[MUTS]
+    have_muts = MUTS in mesh.axis_names
+    n_mut_shards = mesh.shape[MUTS] if have_muts else 1
     m_pad = data.xm.shape[1]
     m_real = cfg.n_muts
     import dataclasses
@@ -113,13 +135,52 @@ def make_sharded_block(mesh: Mesh, cfg: ModelConfig, mcmc_cfg: MCMCConfig,
     trace_k = resolve_trace_k(cfg, mcmc_cfg)
 
     def body(data_local: PackedData, states: CRPState, keys):
-        ax = MutAxis(
-            name=MUTS,
-            mask=(
-                _local_mut_mask(m_pad, m_real, n_mut_shards)
-                if m_pad != m_real else None
-            ),
-        )
+        # A size-1 (or absent) mutation axis needs no collectives; an
+        # unsharded MutAxis also unlocks the fused Pallas kernels.
+        if n_mut_shards > 1:
+            ax = MutAxis(
+                name=MUTS,
+                mask=(
+                    _local_mut_mask(m_pad, m_real, n_mut_shards)
+                    if m_pad != m_real else None
+                ),
+            )
+        else:
+            ax = MutAxis()
+
+        n_local = states.assignment.shape[0]
+        if chain_exec == "auto":
+            from bnpc_tpu.models.gibbs import pallas_available
+
+            sequential = (
+                n_local == 1
+                or pallas_available(cfg_pad, ax)
+                or cfg.n_cells * cfg.k_max >= 600_000
+            )
+        else:
+            sequential = chain_exec == "sequential"
+
+        if sequential:
+            step = make_step_fn(cfg_pad, mcmc_cfg, data_local, trace_k,
+                                ax=ax, gibbs_impl="auto_single")
+
+            if n_local == 1:
+                st1 = jax.tree.map(lambda x: x[0], states)
+                st1, rows1 = jax.lax.scan(step, st1, keys[0])
+                return (jax.tree.map(lambda x: x[None], st1),
+                        jax.tree.map(lambda x: x[None], rows1))
+
+            # Serial per-chain execution: scan over the LOCAL chain axis,
+            # each iteration running one chain's whole block unbatched (the
+            # chain body is traced/compiled once).
+            def one_chain(_, st_keys):
+                st, chain_keys = st_keys
+                st, rows = jax.lax.scan(step, st, chain_keys)
+                return None, (st, rows)
+
+            _, (states, rows) = jax.lax.scan(one_chain, None, (states, keys))
+            return states, rows
+
         step = make_step_fn(cfg_pad, mcmc_cfg, data_local, trace_k, ax=ax)
 
         def one_chain(state, chain_keys):
@@ -139,13 +200,17 @@ def make_sharded_block(mesh: Mesh, cfg: ModelConfig, mcmc_cfg: MCMCConfig,
             mh_counts=P(CHAINS, None, None, None),
         ),
     )
+    in_specs = (data_specs(), state_specs(), P(CHAINS, None))
+    if not have_muts:
+        in_specs = _drop_muts(in_specs)
+        out_specs = _drop_muts(out_specs)
     # check_vma=False: scalar scan carries inside the kernels start as
     # replicated literals and become chain-varying; the strict
     # varying-manual-axes tracker rejects that. Replication of the scalar
     # outputs is guaranteed by construction (psums + replicated keys).
     sharded = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(data_specs(), state_specs(), P(CHAINS, None)),
+        in_specs=in_specs,
         out_specs=out_specs,
         check_vma=False,
     )

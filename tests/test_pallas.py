@@ -59,6 +59,50 @@ def test_pallas_multiple_sweeps_stay_valid():
         check_state_invariants(state, cfg)
 
 
+def test_forced_pallas_under_vmap_falls_back(monkeypatch):
+    """BNPC_TPU_PALLAS=1 with vmapped (batched) chains must not hand the
+    user a Mosaic failure: impl resolution detects the batch tracer and
+    falls back to the scan with a warning (VERDICT round 2, weak item 2)."""
+    from bnpc_tpu.models import gibbs
+
+    data, _ = make_problem(n=12, m=8, k_clones=2, seed=3)
+    cfg = ModelConfig(n_cells=12, n_muts=8, k_max=12, p=0.25, q=0.25,
+                      fp=0.01, fn=0.1)
+    packed = pack_data(data)
+    keys = jax.random.split(jax.random.key(0), 2)
+    states = jax.vmap(
+        lambda k: init_state(k, cfg, packed, mode="random")
+    )(keys)
+
+    monkeypatch.setenv("BNPC_TPU_PALLAS", "1")
+    # Pretend the kernel is available (it never is on the CPU suite) so the
+    # batched-tracer guard is what prevents the Mosaic path.
+    monkeypatch.setattr(gibbs, "pallas_available", lambda cfg_, ax=None: True)
+
+    with pytest.warns(UserWarning, match="vmapped"):
+        out = jax.vmap(
+            lambda k, s: gibbs.gibbs_sweep(k, s, packed, cfg, impl="auto")
+        )(jax.random.split(jax.random.key(1), 2), states)
+    for c in range(2):
+        check_state_invariants(
+            jax.tree.map(lambda x: x[c], out), cfg
+        )
+
+    # Unbatched resolution with the same forced flag still picks pallas.
+    want = []
+
+    def spy(*a, **kw):
+        want.append(kw.get("interpret"))
+        raise RuntimeError("pallas selected")
+
+    monkeypatch.setattr(gibbs, "_pallas_impl", spy)
+    with pytest.raises(RuntimeError, match="pallas selected"):
+        gibbs.gibbs_sweep(
+            jax.random.key(2),
+            jax.tree.map(lambda x: x[0], states), packed, cfg, impl="auto",
+        )
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_dense_matches_cond(seed):
     """The branch-free dense sweep equals the cond-patching sweep."""

@@ -63,12 +63,33 @@ def test_checkpoint_resume(tmp_path):
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_chain_sharding_over_devices():
     runner = _make_runner(block_size=8)
+    # Multi-device + divisible chain count: blocks route through the
+    # shard_map chain mesh (1 chain per device -> unbatched, kernel-capable
+    # step structure).
+    assert runner._chain_block is not None
     results = runner.run((16, 4), seed=3, n_chains=8)
     assert len(results) == 8
     finals = {tuple(r.assignments[-1]) for r in results}
     assert len(finals) > 1  # chains differ
     for r in results:
         assert np.isfinite(r.ML).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_chain_block_matches_unsharded():
+    """The shard_map chain-mesh path consumes the same key streams as the
+    plain vmapped path; traces must be identical."""
+    r1 = _make_runner(block_size=8)
+    assert r1._chain_block is not None
+    res_sharded = r1.run((16, 4), seed=6, n_chains=8)
+
+    r2 = _make_runner(block_size=8)
+    r2._chain_block = None  # force the unsharded vmapped fallback
+    res_plain = r2.run((16, 4), seed=6, n_chains=8)
+
+    for a, b in zip(res_sharded, res_plain):
+        np.testing.assert_array_equal(a.assignments, b.assignments)
+        np.testing.assert_allclose(a.ML, b.ML, rtol=1e-5, atol=1e-4)
 
 
 def test_coupled_moves_multi_chain():
@@ -111,11 +132,17 @@ def test_sequential_chain_exec_matches_vmap():
         np.testing.assert_allclose(a.ML, b.ML, rtol=1e-5, atol=1e-4)
 
 
-def test_chain_exec_auto_prefers_vmap_on_multi_device():
+def test_chain_exec_auto_prefers_vmap_on_multi_device(monkeypatch):
     """With a multi-device backend (the 8 virtual CPU devices of this
     suite), auto must keep vmap so chain sharding spreads chains across
     chips — sequential would serialize them on one. (On a single TPU chip,
-    auto prefers sequential whenever the Pallas kernels are available.)"""
+    auto prefers sequential whenever the Pallas kernels are available.)
+    pallas_available is forced True so the multi-device condition — not the
+    CPU backend — is what the assertion pins (ADVICE round 2)."""
+    from bnpc_tpu.models import gibbs
+
+    monkeypatch.setattr(gibbs, "pallas_available",
+                        lambda cfg_, ax=None: True)
     data, _ = make_problem(n=16, m=16, k_clones=2, seed=8)
     cfg = ModelConfig(n_cells=16, n_muts=16, k_max=16, p=0.25, q=0.25,
                       fp=0.01, fn=0.1)

@@ -99,3 +99,65 @@ def test_sharded_full_step():
         np.asarray(out_states.assignment[0]),
         np.asarray(out_states.assignment[1]),
     )
+
+
+def _chains_mesh_problem(n_chains, seed=11):
+    data, _ = make_problem(n=14, m=12, k_clones=2, seed=seed)
+    cfg = ModelConfig(n_cells=14, n_muts=12, k_max=14, p=0.25, q=0.25,
+                      fp=0.01, fn=0.1)
+    mcmc_cfg = MCMCConfig(sm_prob=0.4, dpa_prob=0.5, error_prob=0.0,
+                          sm_steps=2)
+    packed = pack_data(data)
+    keys = jax.random.split(jax.random.key(seed), n_chains)
+    states = jax.vmap(
+        lambda k: init_state(k, cfg, packed, mode="random")
+    )(keys)
+    step_keys = jax.vmap(lambda k: jax.random.split(k, 4))(keys)
+    return cfg, mcmc_cfg, packed, states, step_keys
+
+
+def test_chains_mesh_local_one_runs_unbatched():
+    """Chains sharded 1:1 over the devices: the shard_map body sees a local
+    chain count of 1 and runs the kernel-capable UNBATCHED step (VERDICT
+    round 2, next-round item 1). Results must equal per-chain unbatched
+    scans of the same step function."""
+    from bnpc_tpu.mcmc import make_step_fn, resolve_trace_k
+
+    cfg, mcmc_cfg, packed, states, step_keys = _chains_mesh_problem(8)
+    mesh = sharded.make_mesh(8, 1)
+    block = sharded.make_sharded_block(mesh, cfg, mcmc_cfg, packed)
+    out_states, rows = block(states, step_keys)
+
+    trace_k = resolve_trace_k(cfg, mcmc_cfg)
+    step = make_step_fn(cfg, mcmc_cfg, packed, trace_k)
+    for c in range(8):
+        st_c = jax.tree.map(lambda x: x[c], states)
+        want_st, want_rows = jax.lax.scan(step, st_c, step_keys[c])
+        np.testing.assert_array_equal(
+            np.asarray(out_states.assignment[c]),
+            np.asarray(want_st.assignment),
+        )
+        np.testing.assert_allclose(
+            np.asarray(rows.ml[c]), np.asarray(want_rows.ml),
+            rtol=1e-5, atol=1e-4,
+        )
+
+
+def test_chains_mesh_sequential_matches_vmap_body():
+    """Local chain count > 1: the serial (chain-scan, kernel-capable) body
+    and the vmapped body consume identical keys and must produce identical
+    chains."""
+    cfg, mcmc_cfg, packed, states, step_keys = _chains_mesh_problem(8, seed=5)
+    mesh = sharded.make_mesh(4, 1)  # 8 chains -> 2 per device
+    blk_seq = sharded.make_sharded_block(mesh, cfg, mcmc_cfg, packed,
+                                         chain_exec="sequential")
+    blk_vmap = sharded.make_sharded_block(mesh, cfg, mcmc_cfg, packed,
+                                          chain_exec="vmap")
+    st_s, rows_s = blk_seq(states, step_keys)
+    st_v, rows_v = blk_vmap(states, step_keys)
+    np.testing.assert_array_equal(np.asarray(st_s.assignment),
+                                  np.asarray(st_v.assignment))
+    np.testing.assert_allclose(np.asarray(rows_s.ml), np.asarray(rows_v.ml),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_s.params),
+                               np.asarray(st_v.params), rtol=1e-5, atol=1e-5)
