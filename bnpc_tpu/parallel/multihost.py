@@ -5,10 +5,11 @@ never talk during sampling (SURVEY.md §2.3), so a multi-host mesh simply
 spreads the chain axis across hosts' chips — collectives only appear if the
 mutation axis is also sharded (psum over ICI within each host's slice).
 
-This module is a thin, documented wiring of `jax.distributed`; it cannot be
-exercised in this single-host image (the virtual-device CPU mesh in
-tests/test_sharding.py covers the SPMD program itself, which is identical
-under multi-host execution).
+This module is a thin, documented wiring of `jax.distributed`. It is
+exercised FOR REAL by tests/test_multihost.py::test_two_process_distributed_run:
+two OS processes initialize against a localhost coordinator (CPU backend,
+Gloo collectives), build a global mesh spanning both processes' devices,
+and run a sharded MCMC block with a cross-process reduction.
 """
 
 from __future__ import annotations
