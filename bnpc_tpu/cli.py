@@ -255,7 +255,12 @@ def describe(cfg: ModelConfig, mcmc_cfg: MCMCConfig) -> str:
 def generate_output(args, results, data_raw, names) -> None:
     """Inference + all result artifacts (run_BnpC.py:203-239)."""
     out_dir = io.get_out_dir(args)
-    inferred = io.infer_results(args, results, data_raw)
+    inferred, psrf, steps = io.infer_results(args, results, data_raw)
+    # Recorded on args so show_mcmc_summary and args.txt see them (the
+    # reference persists both, libs/dpmmIO.py:199-202) — but as an explicit
+    # caller decision, not a side effect of inference.
+    args.PSRF = psrf
+    args.steps = steps
 
     if args.verbosity > 0:
         io.show_mcmc_summary(args, results)

@@ -161,13 +161,20 @@ def get_out_dir(args, prefix: str = "") -> str:
 # ---------------------------------------------------------------------------
 
 
-def infer_results(args, results: list[dict], data: np.ndarray) -> dict:
+def infer_results(args, results: list[dict], data: np.ndarray):
+    """(inferred, PSRF, per-chain step counts).
+
+    The reference's _infer_results writes PSRF/steps INTO args as a side
+    effect (libs/dpmmIO.py:199-202), which couples generate_output's call
+    order to save_config. Here they are returned; the caller decides where
+    they land (cli.generate_output puts them on args for args.txt parity).
+    """
     from bnpc_tpu import diagnostics
 
-    args.PSRF = diagnostics.lugsail_psrf(
+    psrf = diagnostics.lugsail_psrf(
         [(r["ML"], r["burn_in"]) for r in results]
     )
-    args.steps = [r["ML"].size for r in results]
+    steps = [r["ML"].size for r in results]
 
     estimators_list = (
         [args.estimator] if isinstance(args.estimator, str) else args.estimator
@@ -189,7 +196,7 @@ def infer_results(args, results: list[dict], data: np.ndarray) -> dict:
 
     if not args.single_chains:
         inferred["mean"] = inferred.pop(0)
-    return inferred
+    return inferred, psrf, steps
 
 
 # ---------------------------------------------------------------------------

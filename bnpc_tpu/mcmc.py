@@ -319,13 +319,45 @@ class ChainResult:
 
 
 class _TraceBuffer:
-    """Accumulates device trace blocks into host numpy arrays."""
+    """Accumulates device trace blocks into host numpy arrays.
 
-    def __init__(self, n_chains: int):
+    Invariant: ``rows[-1]`` may still be IN FLIGHT (device arrays /
+    ``_Chunked`` transfer handles, not numpy) — the D2H copy of block i
+    overlaps the sampling of block i+1 and is materialized on the next
+    append. Always go through :meth:`concat` (which finishes every fetch);
+    never read ``rows[-1]``'s leaves directly.
+
+    ``params_from`` bounds host memory for the big params leaf: rows of the
+    params trace with a global row index (initial state = row 0, step s =
+    row s) below it are dropped at append time, matching the reference's
+    post-burn-in-only params recording (libs/MCMC.py:260-282). At headline
+    scale the full-rate params trace is ~0.5 GB per chain (steps x trace_k
+    x m f32); with the default burn-in this retains ~1/3 of it. Scalar and
+    assignment traces are always kept at full rate (the PSRF diagnostic and
+    the point estimators need the whole ML/MAP history). Blocks appended
+    with an already-trimmed params leaf (checkpoint resume) are recognized
+    by their row count and left alone.
+    """
+
+    def __init__(self, n_chains: int, params_from: int = 0):
         self.rows: list = []  # list of TraceRow pytrees (numpy, [C, B, ...])
         self.n_chains = n_chains
+        self.params_from = params_from
+        self._next = 1  # global row index of the next appended step row
 
     def append(self, rows: TraceRow):
+        b = rows.ml.shape[1]
+        bp = rows.params.shape[1]
+        lo = max(0, min(b, self.params_from - self._next))
+        self._next += b
+        if bp == b:
+            if lo:
+                rows = rows._replace(params=rows.params[:, lo:])
+        elif bp != b - lo:
+            raise ValueError(
+                f"block with {bp} params rows does not match either the "
+                f"full ({b}) or the trimmed ({b - lo}) row count"
+            )
         # Start the device->host copies immediately (chunked for large
         # leaves — utils/transfer.py) and materialize with a one-block
         # delay, so the transfer of block i overlaps the sampling of block
@@ -497,6 +529,8 @@ class MCMCRunner:
             jax.vmap(lambda st: summarize(st, data, cfg, self.trace_k))
         )
         self.seeds: np.ndarray | None = None
+        # Injectable clock (deterministic time-mode tests stub this).
+        self._now = datetime.now
 
     # -- low-level --------------------------------------------------------
 
@@ -678,6 +712,13 @@ class MCMCRunner:
         results = []
         for c in range(buf.n_chains):
             bi = burn_in if np.isscalar(burn_in) else burn_in[c]
+            if buf.params_from > 0:
+                # The buffer only retained params rows with global index
+                # >= params_from (== burn_in in steps mode): already the
+                # post-burn-in slice, and the initial row is excluded.
+                params_c = np.asarray(rows.params[c])
+            else:
+                params_c = full.params[c][int(bi):]
             res = ChainResult(
                 ML=full.ml[c],
                 MAP=full.map_[c],
@@ -685,7 +726,7 @@ class MCMCRunner:
                 FN=full.fn[c],
                 FP=full.fp[c],
                 assignments=full.assignment[c],
-                params=full.params[c][int(bi):],
+                params=params_c,
                 burn_in=int(bi),
                 mh_counts=full.mh_counts[c].sum(axis=0),
             )
@@ -697,7 +738,9 @@ class MCMCRunner:
 
     def _run_steps(self, states, keys, steps: int, burn_in: int):
         init_rows = self._summarize_states(states)
-        buf = _TraceBuffer(keys.shape[0])
+        # Retain the (large) params trace only post-burn-in, as the
+        # reference does (libs/MCMC.py:260-282) — see _TraceBuffer.
+        buf = _TraceBuffer(keys.shape[0], params_from=int(burn_in))
         done = 0
         ckpt_path = None
         if self.checkpoint_dir:
@@ -766,13 +809,42 @@ class MCMCRunner:
         init_rows = self._summarize_states(states)
         buf = _TraceBuffer(keys.shape[0])
         burn_in = 0
-        while datetime.now() < end_time:
-            t_before = datetime.now()
+        ckpt_path = None
+        if self.checkpoint_dir:
+            import os as _os
+
+            ckpt_path = _os.path.join(self.checkpoint_dir,
+                                      "mcmc_state_time.npz")
+            if _os.path.exists(ckpt_path):
+                states, keys, rows, _, saved_init = \
+                    self.load_checkpoint(ckpt_path)
+                if rows is not None:
+                    buf.append(rows)
+                if saved_init is not None:
+                    init_rows = saved_init
+                ex = getattr(self, "_ckpt_extra", None) or {}
+                if "burn_in" in ex:
+                    burn_in = int(ex["burn_in"])
+        blocks_since_ckpt = 0
+        while self._now() < end_time:
+            t_before = self._now()
             before_steps = buf.n_steps
             states, rows, keys = self.run_block(states, keys,
                                                 self.block_size)
             jax.block_until_ready(rows.ml)
-            t_after = datetime.now()
+            t_after = self._now()
+            # The reference ends the run within one step of the deadline
+            # (clock check per step, libs/MCMC.py:413-430); a fixed-size
+            # block would overshoot by up to block_size steps, so the rows
+            # sampled past the deadline are truncated away by wall-clock
+            # interpolation (the chain state advances past them, which is
+            # statistically immaterial — same treatment as the partial
+            # final block of steps mode).
+            if t_after >= end_time and t_before < end_time:
+                frac = (end_time - t_before) / (t_after - t_before)
+                keep = max(1, int(self.block_size * frac))
+                if keep < self.block_size:
+                    rows = jax.tree.map(lambda x: x[:, :keep], rows)
             buf.append(rows)
             # The reference compares the burn-in timestamp at every step
             # start (libs/MCMC.py:428-430); steps inside a jitted block have
@@ -783,6 +855,13 @@ class MCMCRunner:
             elif t_before < burnin_time:
                 frac = (burnin_time - t_before) / (t_after - t_before)
                 burn_in = before_steps + int(self.block_size * frac)
+            blocks_since_ckpt += 1
+            if (ckpt_path and blocks_since_ckpt >= self.checkpoint_every
+                    and self._now() < end_time):
+                self.save_checkpoint(ckpt_path, states, keys, buf,
+                                     buf.n_steps, init_rows,
+                                     extra={"burn_in": burn_in})
+                blocks_since_ckpt = 0
         return self._collect(buf, init_rows, burn_in)
 
     def _run_lugsail(self, states, keys, cutoff: float, verbosity: int,

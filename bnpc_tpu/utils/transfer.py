@@ -58,6 +58,13 @@ class _Chunked:
             [np.asarray(c) for c in self.chunks]
         ).reshape(self.shape)
 
+    def __array__(self, dtype=None, copy=None):
+        # Safety net: an accidental np.asarray on an in-flight handle (e.g.
+        # reading _TraceBuffer.rows[-1] directly) materializes correctly
+        # instead of exploding.
+        out = self.materialize()
+        return out.astype(dtype) if dtype is not None else out
+
 
 def start_fetch(tree, max_bytes: int = _MAX_BYTES):
     """Begin async D2H copies for every leaf of a pytree and return the

