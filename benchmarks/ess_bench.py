@@ -102,7 +102,74 @@ def summarize(name, ml, dt, steps, burn_in):
     return row
 
 
+def _agg(rows, key):
+    vals = np.array([r[key] for r in rows], dtype=float)
+    k = vals.size
+    mean = float(vals.mean())
+    sd = float(vals.std(ddof=1)) if k > 1 else 0.0
+    half = 1.96 * sd / np.sqrt(k) if k > 1 else 0.0
+    return {"mean": mean, "sd": sd, "ci95_half": half,
+            "values": vals.tolist()}
+
+
+def main_multiseed():
+    """--seeds K mode (VERDICT round 2, next-round item 3): K independent
+    seeds per system at 1,000 x 100, reporting mean +- 95% CI of ESS/step
+    so the 'equivalent mixing' claim carries an interval instead of a point
+    estimate from one noisy trace. --system reference|ours|both lets the
+    CPU-bound reference half run separately from the TPU half."""
+    def arg(name, default):
+        if name in sys.argv:
+            return sys.argv[sys.argv.index(name) + 1]
+        return default
+
+    seeds = int(arg("--seeds", "5"))
+    steps = int(arg("--steps", "900"))
+    system = arg("--system", "both")
+    burn_in = steps // 3
+    data = make_data(1000, 100)
+
+    path = os.path.join(HERE, "ess_multiseed.json")
+    out = {"config": "1000x100, fixed errors, full move mixture, 1 chain",
+           "steps": steps, "burn_in": burn_in, "seeds": seeds}
+    if os.path.exists(path):
+        with open(path) as fh:
+            out.update(json.load(fh))
+
+    if system in ("both", "reference"):
+        rows = []
+        for seed in range(1, seeds + 1):
+            ml, dt = run_reference(data, steps, burn_in, seed=seed)
+            rows.append(summarize(f"reference seed {seed}", ml, dt,
+                                  steps, burn_in))
+        out["reference_runs"] = rows
+        out["reference_ess_per_step"] = _agg(rows, "ess_per_step")
+        out["reference_ess_per_sec"] = _agg(rows, "ess_per_sec")
+
+    if system in ("both", "ours"):
+        rows = []
+        for seed in range(1, seeds + 1):
+            ml, dt = run_ours(data, steps, burn_in, seed=seed)
+            rows.append(summarize(f"bnpc_tpu seed {seed}", ml, dt,
+                                  steps, burn_in))
+        out["bnpc_tpu_runs"] = rows
+        out["bnpc_tpu_ess_per_step"] = _agg(rows, "ess_per_step")
+        out["bnpc_tpu_ess_per_sec"] = _agg(rows, "ess_per_sec")
+
+    for name in ("reference", "bnpc_tpu"):
+        agg = out.get(f"{name}_ess_per_step")
+        if agg:
+            print(f"{name}: ESS/step {agg['mean']:.4f} "
+                  f"+- {agg['ci95_half']:.4f} (95% CI, {seeds} seeds)")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(f"wrote {path}")
+
+
 def main():
+    if "--seeds" in sys.argv:
+        main_multiseed()
+        return
     quick = "--quick" in sys.argv
     steps = 150 if quick else 400
     burn_in = steps // 3

@@ -123,8 +123,7 @@ def _mpear_score(pi_condensed: np.ndarray, clusters: np.ndarray) -> float:
     return (index - expected) / denom
 
 
-def _mpear_scores_batch(sim_dev, sim_host: np.ndarray,
-                        labels: np.ndarray) -> np.ndarray:
+def _mpear_scores_batch(sim_dev, labels: np.ndarray) -> np.ndarray:
     """MPEAR score for every column of `labels` [n, n_k].
 
     Same math as _mpear_score, reorganized for the MXU: with PI the full
@@ -132,7 +131,9 @@ def _mpear_scores_batch(sim_dev, sim_host: np.ndarray,
     matrix of a cut, index = (sum_c m_c^T PI m_c - n) / 2. The n x n @ n x K
     product runs on the device; the final size-n_c reductions run in f64 on
     the host (f32 accumulation of ~n^2 unit-scale terms would lose the
-    between-k score differences).
+    between-k score differences). All scoring reads the EXACT f32 device
+    matrix (only the host-side linkage tree may see a quantized copy —
+    mpear_assignment).
     """
     import jax
     import jax.numpy as jnp
@@ -140,21 +141,28 @@ def _mpear_scores_batch(sim_dev, sim_host: np.ndarray,
     n, n_k = labels.shape
     k_hi = int(labels.max()) + 1
 
+    # sim is an ARGUMENT, not a closure capture: a captured concrete array
+    # becomes an HLO constant, and at n = 10,000 the 400 MB matrix blows
+    # the remote-compile payload limit of the tunneled TPU service.
     @jax.jit
-    def row_terms(labs):                       # labs: [n_k, n]
+    def row_terms(sim, labs):                  # labs: [n_k, n]
         def one(lab):
             m = jax.nn.one_hot(lab, k_hi, dtype=jnp.float32)   # [n, k_hi]
-            pim = jnp.dot(sim_dev, m, precision=jax.lax.Precision.HIGHEST,
+            pim = jnp.dot(sim, m, precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
             return jnp.take_along_axis(pim, lab[:, None], axis=1)[:, 0]
 
         return jax.vmap(one)(labs)             # [n_k, n]
 
     terms = np.asarray(
-        row_terms(jnp.asarray(labels.T)), dtype=np.float64
+        row_terms(sim_dev, jnp.asarray(labels.T)), dtype=np.float64
     )
-    # pi_sum over i<j (condensed form): exclude the unit diagonal.
-    pi_sum = (float(sim_host.sum()) - n) / 2.0
+    # pi_sum over i<j (condensed form): exclude the unit diagonal. Row sums
+    # in f32 on device (n-element rows are safe), total in f64 on host.
+    rowsum = np.asarray(
+        jax.jit(lambda s: jnp.sum(s, axis=1))(sim_dev), dtype=np.float64
+    )
+    pi_sum = (rowsum.sum() - n) / 2.0
     pairs = float(binom(n, 2))
 
     scores = np.empty(n_k)
@@ -170,35 +178,130 @@ def _mpear_scores_batch(sim_dev, sim_host: np.ndarray,
     return scores
 
 
-def mpear_assignment(assignments: np.ndarray) -> np.ndarray:
-    """Consensus assignment maximizing MPEAR over a Ward-linkage scan
-    (libs/utils.py:100-129)."""
-    from bnpc_tpu.utils.transfer import to_host
-
-    sim_dev = _coclustering_device(assignments)
-    # Chunked f32 transfer (100 MB at n=5,000 — see utils/transfer.py),
-    # widened on host.
-    sim = to_host(sim_dev).astype(np.float64)
-    dist = squareform(1.0 - sim, checks=False)
-    z = linkage(dist, method="ward")
-
-    # Average number of non-trivial clusters (size > 2) per sample.
+def _cut_range(assignments: np.ndarray) -> np.ndarray:
+    """Candidate cluster-count range for the MPEAR scan
+    (libs/utils.py:115-120): [0.2, 2.5] x the average number of
+    non-trivial (size > 2) clusters per posterior sample."""
     cl_no = []
     for row in assignments:
         _, counts = np.unique(row, return_counts=True)
         cl_no.append(int((counts > 2).sum()))
     avg = float(np.mean(cl_no))
-
     lo = max(2, int(avg * 0.2))
     hi = int(min(avg * 2.5, assignments.shape[1]))
     n_range = np.arange(lo, hi, dtype=int)
     if n_range.size == 0:
         n_range = np.array([max(2, min(int(avg) or 2, assignments.shape[1]))])
+    return n_range
 
-    # One tree traversal for every candidate K, then batched device scoring.
-    labels = cut_tree(z, n_clusters=n_range)                 # [n, n_k]
-    scores = _mpear_scores_batch(sim_dev, sim, labels)
-    return labels[:, int(np.argmax(scores))]
+
+def _stratified_landmarks(assignments: np.ndarray, n_landmarks: int):
+    """Deterministic landmark cells for the scalable MPEAR path: stratified
+    by the final posterior sample's clustering so every cluster (however
+    small) contributes at least one landmark, the rest proportional."""
+    last = assignments[-1]
+    n = last.size
+    rng = np.random.default_rng(n)  # deterministic per problem size
+    ids, counts = np.unique(last, return_counts=True)
+    quota = np.maximum(1, (counts * (n_landmarks / n)).astype(int))
+    picks = []
+    for cid, q in zip(ids, quota):
+        members = np.nonzero(last == cid)[0]
+        picks.append(rng.choice(members, size=min(q, members.size),
+                                replace=False))
+    picks = np.concatenate(picks)
+    if picks.size < n_landmarks:
+        rest = np.setdiff1d(np.arange(n), picks, assume_unique=False)
+        extra = rng.choice(rest, size=min(n_landmarks - picks.size,
+                                          rest.size), replace=False)
+        picks = np.concatenate([picks, extra])
+    return np.sort(picks[:n_landmarks])
+
+
+def mpear_assignment(assignments: np.ndarray,
+                     max_exact: int | None = None) -> np.ndarray:
+    """Consensus assignment maximizing MPEAR over a Ward-linkage scan
+    (libs/utils.py:100-129).
+
+    Scaling: the Ward tree is a CANDIDATE-PARTITION GENERATOR — the final
+    choice among cuts is always the exact device-side MPEAR score over all
+    n cells (_mpear_scores_batch). Up to `max_exact` cells the tree is
+    built from the full co-clustering matrix (the reference's exact
+    procedure). Beyond it, fetching O(n^2) to the host does not scale
+    (400 MB at n = 10,000; minutes-to-hours over a degraded relay link), so
+    the tree is built from a stratified landmark subset (L cells, env
+    BNPC_TPU_MPEAR_LANDMARKS, default 1536): the [L, L] landmark similarity
+    block is fetched, cut into candidate partitions, and each cut is
+    extended to every cell ON DEVICE by assigning it to the cut cluster
+    with the highest mean co-clustering similarity — then all extended cuts
+    are scored exactly as usual. Tree-feeding fetches above a few MB are
+    additionally uint8-quantized (<= 1/510 distance perturbation; the exact
+    scorer never sees quantized values). Override the exact threshold with
+    BNPC_TPU_MPEAR_EXACT_MAX or the `max_exact` argument.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from bnpc_tpu.utils.transfer import to_host
+
+    if max_exact is None:
+        max_exact = int(os.environ.get("BNPC_TPU_MPEAR_EXACT_MAX", "4096"))
+
+    steps, n = assignments.shape
+    sim_dev = _coclustering_device(assignments)
+    n_range = _cut_range(assignments)
+
+    def fetch_for_tree(s_dev, quant_above=(16 << 20)):
+        if s_dev.size * s_dev.dtype.itemsize > quant_above:
+            q = jax.jit(
+                lambda s: jnp.round(s * 255.0).astype(jnp.uint8)
+            )(s_dev)
+            return to_host(q).astype(np.float64) / 255.0
+        return to_host(s_dev).astype(np.float64)
+
+    n_landmarks = int(os.environ.get("BNPC_TPU_MPEAR_LANDMARKS", "1536"))
+    if n <= max_exact or n_landmarks >= n:
+        sim = fetch_for_tree(sim_dev)
+        dist = squareform(1.0 - sim, checks=False)
+        z = linkage(dist, method="ward")
+        labels = cut_tree(z, n_clusters=n_range)             # [n, n_k]
+        scores = _mpear_scores_batch(sim_dev, labels)
+        return labels[:, int(np.argmax(scores))]
+
+    # --- landmark path -----------------------------------------------
+    lm = _stratified_landmarks(np.asarray(assignments), n_landmarks)
+    lm_dev = jnp.asarray(lm)
+    sub = jax.jit(lambda s, ix: s[ix][:, ix])(sim_dev, lm_dev)
+    sim_lm = fetch_for_tree(sub, quant_above=(4 << 20))
+    dist = squareform(1.0 - sim_lm, checks=False)
+    z = linkage(dist, method="ward")
+    labels_lm = cut_tree(z, n_clusters=n_range)              # [L, n_k]
+    k_hi = int(labels_lm.max()) + 1
+
+    @jax.jit
+    def extend(sim, ix, labs):                               # labs [n_k, L]
+        sim_nl = sim[:, ix]                                  # [n, L]
+
+        def one(lab):
+            m = jax.nn.one_hot(lab, k_hi, dtype=jnp.float32)  # [L, k_hi]
+            tot = jnp.dot(sim_nl, m,
+                          precision=jax.lax.Precision.HIGHEST)
+            cnt = m.sum(axis=0)
+            mean = jnp.where(cnt > 0.0, tot / jnp.maximum(cnt, 1.0),
+                             -jnp.inf)
+            full = jnp.argmax(mean, axis=1).astype(jnp.int32)
+            # Landmarks keep their tree label (preserves cut structure).
+            return full.at[ix].set(lab.astype(jnp.int32))
+
+        return jax.vmap(one)(labs)                           # [n_k, n]
+
+    labels_full = np.asarray(
+        extend(sim_dev, lm_dev, jnp.asarray(labels_lm.T))
+    ).T                                                      # [n, n_k]
+    scores = _mpear_scores_batch(sim_dev, labels_full)
+    return labels_full[:, int(np.argmax(scores))]
 
 
 # ---------------------------------------------------------------------------
@@ -206,8 +309,13 @@ def mpear_assignment(assignments: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def consensus_genotypes(assignments: np.ndarray, params_full: np.ndarray):
+def consensus_genotypes(assignments: np.ndarray, params_full: np.ndarray,
+                        assign: np.ndarray | None = None):
     """(assign, genotypes DataFrame [muts x cells]).
+
+    `assign` lets a caller supply a precomputed consensus assignment
+    (benchmarks time the MPEAR stages separately); by default it is
+    computed here via :func:`mpear_assignment`.
 
     For each consensus cluster, average the sampled parameter rows over the
     posterior samples in which (criterion 1) all its cells share one sampled
@@ -223,7 +331,8 @@ def consensus_genotypes(assignments: np.ndarray, params_full: np.ndarray):
     """
     steps, n_cells = assignments.shape
     a = np.asarray(assignments)
-    assign = mpear_assignment(a)
+    if assign is None:
+        assign = mpear_assignment(a)
     clusters = np.unique(assign)
 
     k_ids = int(a.max()) + 1

@@ -9,9 +9,7 @@ pairs. That structure admits an exact, fixed-round, branch-free sampler:
 
   * Gamma(k) for k = p+1, q+1 in (1, 2] via Marsaglia-Tsang (2000) squeeze,
     vectorized over a FIXED number of rejection rounds with first-accept
-    semantics (acceptance per round is >95% for k in (1,2], so 4 rounds
-    leave a ~6e-6 never-accepted rate, patched with the distribution's mode
-    scale d — statistically invisible; KS-tested at 1e6 samples);
+    semantics (acceptance per round is >95% for k in (1,2]);
   * the small-shape boost Gamma(a) =d Gamma(a+1) * U^(1/a) applied ONLY
     where the data bit is 0 — reusing the same Gamma(a+1) field is valid
     because each element consumes exactly one of the two branches;
@@ -19,20 +17,41 @@ pairs. That structure admits an exact, fixed-round, branch-free sampler:
 
 Measured: 22.9 ms -> ~1 ms for the full newborn field; exactness asserted
 by KS tests against scipy in tests/test_randomx.py.
+
+Exactness bound (fixed rounds vs the reference's unbounded rejection): with
+per-round acceptance >= 0.95, a draw falls back to the distribution's mode
+scale `d` with probability <= 0.05^R (~6e-6 at the default R = 4, ~1.6e-8
+at R = 6). That is a total-variation error <= 0.05^R per Gamma component;
+the newborn-row field consumes ~2*n*m components per sweep (~2e6 at
+headline scale), so on the order of a dozen mode-patched values enter ONE
+[n, m] proposal field per sweep. The field only parameterizes newborn-
+cluster PROPOSALS of the transition kernel, so the per-step kernel
+perturbation is bounded by the same 0.05^R in TV — orders of magnitude
+below f32 rounding in the likelihood sums. A KS test cannot see 6e-6
+contamination at 1e6 samples (tests/test_randomx.py bounds the bulk
+distribution, not this tail). Set BNPC_TPU_MT_ROUNDS to trade throughput
+for a smaller fallback rate (each round costs RNG + transcendentals on the
+~0.9 ms newborn-field budget, BASELINE.md).
 """
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
+_DEFAULT_ROUNDS = int(os.environ.get("BNPC_TPU_MT_ROUNDS", "4"))
 
-def mt_gamma(key, shape_param: float, shape, rounds: int = 4):
+
+def mt_gamma(key, shape_param: float, shape, rounds: int = _DEFAULT_ROUNDS):
     """Gamma(shape_param) for a STATIC scalar shape_param > 1/3, via
-    fixed-round Marsaglia-Tsang rejection with first-accept semantics."""
+    fixed-round Marsaglia-Tsang rejection with first-accept semantics.
+    Never-accepted elements (p <= 0.05^rounds, see module docstring) fall
+    back to the mode scale d."""
     d = shape_param - 1.0 / 3.0
     c = 1.0 / jnp.sqrt(9.0 * d)
-    g = jnp.full(shape, d, jnp.float32)  # never-accepted fallback (~6e-6)
+    g = jnp.full(shape, d, jnp.float32)  # never-accepted fallback
     accepted = jnp.zeros(shape, bool)
     for r in range(rounds):
         kx, ku, key = jax.random.split(key, 3)

@@ -107,6 +107,26 @@ def test_capacity_guard():
         est.consensus_genotypes(assignments, params_full[:, :5])
 
 
+def test_mpear_landmark_path_matches_exact(monkeypatch):
+    """The scalable landmark MPEAR path (VERDICT round 2, next-round item 4)
+    recovers the same consensus clustering as the exact full-matrix path on
+    separable data: the landmark tree only generates candidate cuts; the
+    winner is picked by the same exact device-side score."""
+    rng = np.random.default_rng(7)
+    n, steps, k = 300, 40, 5
+    base = np.repeat(np.arange(k), n // k)
+    a = np.tile(base, (steps, 1))
+    flip = rng.random((steps, n)) < 0.03  # posterior churn
+    a[flip] = rng.integers(0, k, int(flip.sum()))
+
+    exact = est.mpear_assignment(a, max_exact=n)
+    monkeypatch.setenv("BNPC_TPU_MPEAR_LANDMARKS", "90")
+    landmark = est.mpear_assignment(a, max_exact=10)
+
+    assert np.unique(exact).size == k
+    assert est.ari(landmark, exact) == 1.0
+
+
 def test_batched_mpear_scores_match_reference_formula():
     rng = np.random.default_rng(3)
     import jax.numpy as jnp
@@ -118,7 +138,7 @@ def test_batched_mpear_scores_match_reference_formula():
     labels = np.stack([
         rng.integers(0, k, n) for k in (2, 3, 5, 8)
     ], axis=1)
-    got = est._mpear_scores_batch(jnp.asarray(sim, jnp.float32), sim, labels)
+    got = est._mpear_scores_batch(jnp.asarray(sim, jnp.float32), labels)
     cond = squareform(sim, checks=False)
     want = np.array([
         est._mpear_score(cond, labels[:, j]) for j in range(labels.shape[1])
