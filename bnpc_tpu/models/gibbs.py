@@ -2,7 +2,7 @@
 
 Reference: update_assignments_Gibbs (libs/CRP.py:254-288). The per-cell order
 dependence (through cluster sizes, occupancy, and clusters born mid-sweep) is
-real, so the sweep stays sequential over a random permutation. Three
+real, so the sweep stays sequential over a random permutation. Four
 implementations share identical hoisted randomness (and therefore produce
 bit-identical results; asserted in tests/test_pallas.py):
 
@@ -14,14 +14,25 @@ bit-identical results; asserted in tests/test_pallas.py):
   * ``scan_dense`` — branch-free: likelihoods against every potential
     newborn cluster precomputed as one [n, n] matmul; better shape under
     vmap, slower single-chain (gather-bound).
-  * ``pallas`` — the whole sweep fused into ONE dot-free TPU kernel
-    (bnpc_tpu/ops/pallas_gibbs.py): the [n, k_max] and [n, n] likelihood
-    matrices are precomputed as MXU matmuls and kept VMEM-resident, so each
-    cell iteration is pure VPU masking/argmax, eliminating the XLA
-    While-loop dispatch overhead that dominates the scan versions.
-    Unbatched chains on TPU only (the default there via impl="auto_single");
-    bit-identical to the scan in interpreter mode, identical modulo the TPU
-    log approximation (~2e-6) when compiled.
+  * ``pallas`` — the lazy-birth fused TPU path (the default on TPU via
+    impl="auto_single"): an early-exit segment kernel
+    (ops/pallas_gibbs.py::pallas_lazy_segment) runs the per-cell loop on a
+    VMEM-resident Gumbel-folded Z matrix and EXITS at each cluster birth;
+    an outer while_loop draws THAT cell's newborn Beta row, patches its Z
+    column (one [n, m] matvec), and relaunches. The eager newborn
+    precomputes (the [n, m] Beta field, its log tables, and the [n, n]
+    cross-likelihood matmul — ~60% of the eager sweep's device time) are
+    skipped entirely: newborn work is proportional to actual births (a
+    handful per sweep at stationarity), not to n.
+  * ``pallas_eager`` — the round-2 fully-eager kernel
+    (ops/pallas_gibbs.py::pallas_sweep): likelihoods against every
+    potential newborn cluster precomputed as one [n, n] matmul, births
+    patched in-kernel via column-slice DMA. Kept as a measured
+    alternative; it loses to the lazy path unless births/sweep is huge.
+
+Both Pallas paths are unbatched-chains-on-TPU only; bit-identical to the
+scan in interpreter mode, identical modulo the TPU log approximation
+(~2e-6) when compiled.
 """
 
 from __future__ import annotations
@@ -40,21 +51,43 @@ _NO_AXIS = MutAxis()
 NEG_INF = -jnp.inf
 
 
-def _hoisted_randomness(key, state, data, cfg, ax):
-    """Everything random in a sweep, drawn up front (shared by both impls)."""
-    from bnpc_tpu.ops.randomx import beta_binary
+def _sweep_keys(key, state, cfg, ax):
+    """The sweep's (perm, gumbel, k_beta) randomness, shared by ALL impls.
 
+    The newborn-row randomness is COUNTER-BASED: cell i's row is always
+    drawn from fold_in(k_beta, i), so eager implementations (which draw the
+    whole [n, m] field up front) and the lazy Pallas path (which draws only
+    the few rows that actually birth a cluster) produce bit-identical
+    values per cell."""
     n, k_max = cfg.n_cells, cfg.k_max
     k_perm, k_gumbel, k_beta = jax.random.split(key, 3)
     perm = jax.random.permutation(k_perm, n)
     gumbel = jax.random.gumbel(k_gumbel, (n, k_max + 1))
-    # [n, m] newborn row per cell (libs/CRP.py:183-188). beta_binary is the
-    # exact Beta(p+x, q+x0) specialized to binary planes — jax.random.beta
-    # with array shapes costs ~85% of a whole sweep (ops/randomx.py).
-    fresh = jnp.clip(
-        beta_binary(ax.fold_key(k_beta), cfg.p, cfg.q, data.xm, data.xm0),
+    return perm, gumbel, ax.fold_key(k_beta)
+
+
+def fresh_row(k_beta, cell, data, cfg):
+    """Newborn parameter row for `cell` (libs/CRP.py:183-188, 291-294):
+    an exact Beta(p + x, q + x0) posterior draw given that one cell."""
+    from bnpc_tpu.ops.randomx import beta_binary
+
+    return jnp.clip(
+        beta_binary(jax.random.fold_in(k_beta, cell), cfg.p, cfg.q,
+                    jnp.take(data.xm, cell, axis=0),
+                    jnp.take(data.xm0, cell, axis=0)),
         TMIN, TMAX,
     ).astype(jnp.float32)
+
+
+def _hoisted_randomness(key, state, data, cfg, ax):
+    """Everything random in a sweep, drawn up front (eager impls)."""
+    perm, gumbel, k_beta = _sweep_keys(key, state, cfg, ax)
+    # [n, m] newborn row per cell. beta_binary is the exact Beta(p+x, q+x0)
+    # specialized to binary planes — jax.random.beta with array shapes
+    # costs ~85% of a whole sweep (ops/randomx.py).
+    fresh = jax.vmap(
+        lambda cell: fresh_row(k_beta, cell, data, cfg)
+    )(jnp.arange(cfg.n_cells))
     return perm, gumbel, fresh
 
 
@@ -72,20 +105,24 @@ def _is_batched(x) -> bool:
     return isinstance(x, BatchTracer)
 
 
-def pallas_available(cfg: ModelConfig, ax: MutAxis = _NO_AXIS) -> bool:
+def pallas_available(cfg: ModelConfig, ax: MutAxis = _NO_AXIS,
+                     eager: bool = False) -> bool:
     """Whether the fused Pallas sweep can run here: TPU backend, unsharded
-    mutation axis, and the resident V/Gumbel/column buffers fit in VMEM
-    (~16 MB/core; ~3 MB headroom left for Mosaic temporaries)."""
+    mutation axis, and the resident buffers fit in VMEM (~16 MB/core;
+    ~3 MB headroom left for Mosaic temporaries). The default lazy kernel
+    only keeps Z resident; the eager kernel also stages a column block."""
     import os
 
-    from bnpc_tpu.ops.pallas_gibbs import vmem_budget_bytes
+    from bnpc_tpu.ops.pallas_gibbs import (lazy_vmem_budget_bytes,
+                                           vmem_budget_bytes)
 
     if os.environ.get("BNPC_TPU_PALLAS", "") == "0":
         return False
+    budget = vmem_budget_bytes if eager else lazy_vmem_budget_bytes
     return (
         not ax.sharded
         and jax.default_backend() == "tpu"
-        and vmem_budget_bytes(cfg.n_cells, cfg.k_max) <= 13 * 1024 * 1024
+        and budget(cfg.n_cells, cfg.k_max) <= 13 * 1024 * 1024
     )
 
 
@@ -107,7 +144,7 @@ def gibbs_sweep(key, state: CRPState, data: PackedData,
     elif impl == "auto_single":
         impl = "pallas" if pallas_available(cfg, ax) else "scan"
 
-    if impl == "pallas" and _is_batched(state.assignment):
+    if impl in ("pallas", "pallas_eager") and _is_batched(state.assignment):
         import warnings
 
         warnings.warn(
@@ -119,8 +156,6 @@ def gibbs_sweep(key, state: CRPState, data: PackedData,
         )
         impl = "scan"
 
-    perm, gumbel, fresh = _hoisted_randomness(key, state, data, cfg, ax)
-
     # Per-sweep constants: alpha is fixed within a sweep, so the new-cluster
     # posterior is precomputed for all cells at once (libs/CRP.py:258).
     n = cfg.n_cells
@@ -130,6 +165,15 @@ def gibbs_sweep(key, state: CRPState, data: PackedData,
         + jnp.log(alpha) - log_denom
 
     if impl == "pallas":
+        # Lazy-birth kernel: newborn rows are drawn (and their Z columns
+        # computed) only for the cells that actually birth a cluster.
+        perm, gumbel, k_beta = _sweep_keys(key, state, cfg, ax)
+        return _pallas_lazy_impl(state, data, cfg, perm, gumbel, k_beta,
+                                 new_post, log_denom, interpret)
+
+    perm, gumbel, fresh = _hoisted_randomness(key, state, data, cfg, ax)
+
+    if impl == "pallas_eager":
         return _pallas_impl(state, data, cfg, perm, gumbel, fresh,
                             new_post, log_denom, interpret)
     if impl == "scan":
@@ -343,4 +387,81 @@ def _pallas_impl(state, data, cfg, perm, gumbel, fresh, new_post, log_denom,
         assignment=assignment,
         cluster_size=sizes_out[:k_max].astype(jnp.int32),
         params=params_out[:k_max, :m],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lazy-birth fused Pallas implementation (the TPU default)
+# ---------------------------------------------------------------------------
+
+
+def _pallas_lazy_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
+                      log_denom, interpret):
+    """Birth-lazy fused sweep: the eager precomputes (the [n, m] newborn
+    Beta field, its log tables, and the [n, n] cross-likelihood matmul,
+    ~60% of the sweep's device time at 5,000 x 200) are replaced by an
+    outer while_loop that runs the early-exit segment kernel
+    (ops/pallas_gibbs.py::pallas_lazy_segment) and materializes ONE newborn
+    row + Z column per actual cluster birth — a Beta row draw and a single
+    [n, m] matvec (exactly the scan implementation's lax.cond birth path,
+    hoisted out of the per-cell loop). Launches per sweep = births + 1.
+
+    Bit-identical to the scan/eager impls given the same sweep key: the
+    newborn randomness is counter-based per cell (see _sweep_keys), and the
+    patched column uses the same lk.ll_col formulation as the scan birth.
+    """
+    from bnpc_tpu.ops.pallas_gibbs import _round_up, pallas_lazy_segment
+
+    n, m, k_max = cfg.n_cells, cfg.n_muts, cfg.k_max
+    k_pad = _round_up(k_max, 128)
+    n8 = _round_up(n, 8)
+
+    c1, c0 = lk.log_prob_tables(state.params, state.fp, state.fn)
+    z0 = jnp.pad(
+        lk.ll_matrix(data, c1, c0) + gumbel[:, :k_max],
+        [(0, n8 - n), (0, k_pad - k_max)],
+    )  # [n8, k_pad]
+    aux = new_post + gumbel[:, k_max]
+    sizes0 = jnp.concatenate([
+        state.cluster_size.astype(jnp.float32),
+        jnp.full((k_pad - k_max,), -1.0, jnp.float32),
+    ])[None, :]
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    def cond(carry):
+        return carry[0] < n
+
+    def body(carry):
+        i0, z, assign, sizes, params = carry
+        tgt, sizes, info = pallas_lazy_segment(
+            z, aux, assign, perm, sizes, i0, log_denom,
+            interpret=interpret,
+        )
+        i_next, bcell, bslot = info[0], info[1], info[2]
+        done = (pos >= i0) & (pos < i_next)
+        assign = assign.at[perm].set(jnp.where(done, tgt, assign[perm]))
+
+        def patch(z, params):
+            theta = fresh_row(k_beta, bcell, data, cfg)
+            f1r, f0r = lk.log_prob_tables(theta, state.fp, state.fn)
+            col = lk.ll_col(f1r, f0r, data.xm, data.xm0) \
+                + jnp.take(gumbel, bslot, axis=1)
+            z2 = jax.lax.dynamic_update_slice(
+                z, jnp.pad(col, (0, n8 - n))[:, None],
+                (jnp.int32(0), bslot),
+            )
+            return z2, params.at[bslot].set(theta)
+
+        z, params = jax.lax.cond(
+            bcell >= 0, patch, lambda z_, p_: (z_, p_), z, params
+        )
+        return (i_next, z, assign, sizes, params)
+
+    init = (jnp.int32(0), z0, state.assignment.astype(jnp.int32),
+            sizes0, state.params)
+    _, _, assignment, sizes, params = jax.lax.while_loop(cond, body, init)
+    return state._replace(
+        assignment=assignment,
+        cluster_size=sizes[0, :k_max].astype(jnp.int32),
+        params=params,
     )

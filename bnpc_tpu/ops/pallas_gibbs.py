@@ -263,3 +263,167 @@ def vmem_budget_bytes(n: int, k_max: int) -> int:
     sweep fits e.g. 10,000 cells at k_max=128 on a 16 MB-VMEM core."""
     k_pad = _round_up(k_max, 128)
     return 4 * (n * k_pad + n * 128)
+
+
+# ---------------------------------------------------------------------------
+# Lazy-birth segment kernel
+# ---------------------------------------------------------------------------
+#
+# The eager kernel above needs every potential newborn cluster materialized
+# up front: a [n, m] Beta field, its log tables, and a [n, n] cross-
+# likelihood matmul — ~60% of the whole sweep's device time at the headline
+# shape — even though only the few cells that actually BIRTH a cluster ever
+# consume a column. The lazy design splits the sweep at birth events
+# instead (reference semantics are unchanged: the new-cluster LOGIT is the
+# analytic prior-predictive, libs/CRP.py:230-234; the newborn parameter row
+# is only drawn once a birth happens, libs/CRP.py:291-294):
+#
+#   * this kernel runs the per-cell loop from a dynamic start position and
+#     EXITS at the first cluster birth (lax.while_loop with a scalar+vector
+#     carry), returning the per-position targets, the updated sizes row,
+#     and the (cell, slot) of the pending birth;
+#   * the caller (models/gibbs.py::_pallas_lazy_impl) patches the Z matrix
+#     column and the parameter row for that one birth in XLA — one Beta row
+#     draw + one [n, m] matvec — and relaunches the kernel at the next
+#     position. Launches per sweep = births + 1, and a launch's fixed cost
+#     is one [n8, k_pad] HBM->VMEM restage of Z.
+#
+# The kernel itself needs no newborn inputs at all (no lf2 matrix, no fresh
+# rows, no gum staging, no params DMA), so its VMEM footprint is just the
+# resident Z working matrix.
+
+
+def _lazy_segment_kernel(
+    # inputs
+    z_ref,          # [n8, k_pad] f32, ANY/HBM — current Z (Gumbel folded),
+    #                 kept up to date across launches by the caller
+    aux_ref,        # [n] f32, SMEM — new-cluster logit incl. its gumbel
+    assign_ref,     # [n] i32, SMEM — assignment BEFORE this sweep for cells
+    #                 not yet visited (each cell is visited exactly once)
+    perm_ref,       # [n] i32, SMEM — the sweep's cell visit order
+    sizes_in_ref,   # [1, k_pad] f32, VMEM (-1 sentinel on padded slots)
+    i0_ref,         # [1] i32, SMEM — start position in the permutation
+    logden_ref,     # [1, 1] f32, SMEM
+    # outputs
+    tgt_out_ref,    # [n] i32, SMEM — chosen slot per PERMUTATION POSITION;
+    #                 only positions [i0, i_next) are written
+    sizes_out_ref,  # [1, k_pad] f32, VMEM
+    info_ref,       # [3] i32, SMEM — (i_next, birth_cell, birth_slot);
+    #                 birth_cell == -1 when the segment ran to the end
+    # scratch
+    v_scr,          # [n8, k_pad] f32 — the resident Z working matrix
+    free_scr,       # [1] i32 — first-free slot of the current iteration
+    init_sem,
+):
+    n = assign_ref.shape[0]
+    k_pad = v_scr.shape[1]
+
+    init_dma = pltpu.make_async_copy(z_ref, v_scr, init_sem)
+    init_dma.start()
+    init_dma.wait()
+
+    log_denom = logden_ref[0, 0]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)[0]
+
+    def cond(carry):
+        i, _, bcell, _ = carry
+        return (i < n) & (bcell < 0)
+
+    def body(carry):
+        i, sizes_cur, _, _ = carry
+        cell = perm_ref[i]
+        old = assign_ref[cell]
+        sizes = sizes_cur - (iota_k == old).astype(jnp.float32)
+
+        v = v_scr[pl.ds(cell, 1), :][0]
+        logits = v + (jnp.log(jnp.maximum(sizes, 0.0)) - log_denom)
+        best_old = jnp.max(logits)
+        idx_old = jnp.argmax(logits).astype(jnp.int32)
+
+        cand = aux_ref[cell] > best_old
+        free_scr[0] = k_pad
+
+        @pl.when(cand)
+        def _():
+            # First free slot; NOT jnp.argmax (see eager kernel notes).
+            free_scr[0] = jnp.min(
+                jnp.where(sizes == 0.0, iota_k, k_pad)
+            ).astype(jnp.int32)
+
+        free = free_scr[0]
+        is_new = cand & (free < k_pad)
+        target = jnp.where(is_new, free, idx_old)
+
+        tgt_out_ref[i] = target
+        sizes = sizes + (iota_k == target).astype(jnp.float32)
+        bcell = jnp.where(is_new, cell, -1)
+        bslot = jnp.where(is_new, free, -1)
+        return (i + 1, sizes, bcell, bslot)
+
+    i, sizes, bcell, bslot = jax.lax.while_loop(
+        cond, body,
+        (i0_ref[0], sizes_in_ref[0, :], jnp.int32(-1), jnp.int32(-1)),
+    )
+    sizes_out_ref[0, :] = sizes
+    info_ref[0] = i
+    info_ref[1] = bcell
+    info_ref[2] = bslot
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_lazy_segment(z, aux, assign, perm, sizes, i0, log_denom, *,
+                        interpret=False):
+    """Run one birth-bounded segment of the sweep (see kernel docstring).
+
+    z: [n8, k_pad] the current Gumbel-folded Z matrix; aux: [n]; assign [n]
+    i32; perm [n] i32; sizes [1, k_pad] f32 with -1 sentinels; i0 scalar
+    i32 start position.
+
+    Returns (targets_by_position [n] i32, sizes [1, k_pad] f32,
+    info [3] i32 = (i_next, birth_cell, birth_slot)).
+    """
+    n_pad8, k_pad = z.shape
+    n = assign.shape[0]
+
+    return pl.pallas_call(
+        _lazy_segment_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((3,), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # z
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # aux
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # assign
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # perm
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sizes
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # i0
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # log_denom
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad8, k_pad), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(
+        z,
+        aux.astype(jnp.float32),
+        assign.astype(jnp.int32),
+        perm.astype(jnp.int32),
+        sizes.astype(jnp.float32),
+        jnp.asarray(i0, jnp.int32)[None],
+        jnp.asarray(log_denom, jnp.float32)[None, None],
+    )
+
+
+def lazy_vmem_budget_bytes(n: int, k_max: int) -> int:
+    """VMEM the lazy segment kernel needs resident (just Z), in bytes."""
+    k_pad = _round_up(k_max, 128)
+    return 4 * _round_up(n, 8) * k_pad

@@ -28,23 +28,29 @@ def test_pallas_matches_scan(seed):
     key = jax.random.key(100 + seed)
 
     out_scan = gibbs_sweep(key, state, packed, cfg, impl="scan_cond")
-    out_pl = gibbs_sweep(key, state, packed, cfg, impl="pallas",
-                         interpret=True)
+    # "pallas" is the lazy-birth path; "pallas_eager" the round-2 kernel.
+    for impl in ("pallas", "pallas_eager"):
+        out_pl = gibbs_sweep(key, state, packed, cfg, impl=impl,
+                             interpret=True)
 
-    np.testing.assert_array_equal(
-        np.asarray(out_scan.assignment), np.asarray(out_pl.assignment)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(out_scan.cluster_size), np.asarray(out_pl.cluster_size)
-    )
-    # Parameter rows of live slots match (newborn rows come from the same
-    # pre-drawn fresh array).
-    live = np.asarray(out_scan.cluster_size) > 0
-    np.testing.assert_allclose(
-        np.asarray(out_scan.params)[live], np.asarray(out_pl.params)[live],
-        rtol=1e-6, atol=1e-6,
-    )
-    check_state_invariants(out_pl, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(out_scan.assignment), np.asarray(out_pl.assignment)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_scan.cluster_size),
+            np.asarray(out_pl.cluster_size)
+        )
+        # Parameter rows of live slots match. The eager kernel consumes the
+        # same pre-drawn fresh array bit-for-bit; the lazy path recomputes
+        # the (counter-keyed) newborn rows in a different fusion context,
+        # which XLA may round ~1 ulp differently.
+        live = np.asarray(out_scan.cluster_size) > 0
+        np.testing.assert_allclose(
+            np.asarray(out_scan.params)[live],
+            np.asarray(out_pl.params)[live],
+            rtol=1e-6, atol=1e-6,
+        )
+        check_state_invariants(out_pl, cfg)
 
 
 def test_pallas_multiple_sweeps_stay_valid():
@@ -88,19 +94,47 @@ def test_forced_pallas_under_vmap_falls_back(monkeypatch):
             jax.tree.map(lambda x: x[c], out), cfg
         )
 
-    # Unbatched resolution with the same forced flag still picks pallas.
+    # Unbatched resolution with the same forced flag still picks the
+    # (lazy) pallas path.
     want = []
 
     def spy(*a, **kw):
         want.append(kw.get("interpret"))
         raise RuntimeError("pallas selected")
 
-    monkeypatch.setattr(gibbs, "_pallas_impl", spy)
+    monkeypatch.setattr(gibbs, "_pallas_lazy_impl", spy)
     with pytest.raises(RuntimeError, match="pallas selected"):
         gibbs.gibbs_sweep(
             jax.random.key(2),
             jax.tree.map(lambda x: x[0], states), packed, cfg, impl="auto",
         )
+
+
+def test_lazy_birth_patch_path_exercised():
+    """The lazy path's whole point is the birth patch (segment relaunch +
+    one-column Z update). Assert births actually happen across these seeds
+    (an empty slot becoming occupied can only be a birth — dead slots are
+    masked out of the categorical) and that lazy still matches the scan."""
+    data, _ = make_problem(n=24, m=12, k_clones=2, seed=11)
+    cfg = ModelConfig(n_cells=24, n_muts=12, k_max=24, p=0.25, q=0.25,
+                      fp=0.01, fn=0.1)
+    packed = pack_data(data)
+
+    births = 0
+    for seed in range(6):
+        state = init_state(jax.random.key(seed), cfg, packed, mode="random")
+        key = jax.random.key(300 + seed)
+        a = gibbs_sweep(key, state, packed, cfg, impl="scan_cond")
+        b = gibbs_sweep(key, state, packed, cfg, impl="pallas",
+                        interpret=True)
+        np.testing.assert_array_equal(np.asarray(a.assignment),
+                                      np.asarray(b.assignment))
+        np.testing.assert_array_equal(np.asarray(a.cluster_size),
+                                      np.asarray(b.cluster_size))
+        was_free = np.asarray(state.cluster_size) == 0
+        now_live = np.asarray(b.cluster_size) > 0
+        births += int((was_free & now_live).sum())
+    assert births >= 1, "no birth events exercised — change the seeds"
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
