@@ -137,6 +137,33 @@ def test_lazy_birth_patch_path_exercised():
     assert births >= 1, "no birth events exercised — change the seeds"
 
 
+def test_pallas_saturated_capacity_matches_scan():
+    """k_max saturated with multi-cell clusters: no slot ever frees up, so a
+    cell whose new-cluster logit wins (cand=True) must fall back to the best
+    live cluster — the `free == k_pad` branch in both kernels. A huge
+    dp_alpha makes the new-cluster logit win often."""
+    data, _ = make_problem(n=24, m=12, k_clones=2, seed=3)
+    cfg = ModelConfig(n_cells=24, n_muts=12, k_max=4, p=0.25, q=0.25,
+                      fp=0.01, fn=0.1, dp_a_shape=1e6, dp_a_loc=1.0)
+    packed = pack_data(data)
+    state = init_state(jax.random.key(0), cfg, packed,
+                       assign=np.arange(24) % 4)
+    assert int(np.asarray(state.cluster_size).min()) >= 2  # no frees ever
+
+    for seed in range(3):
+        key = jax.random.key(40 + seed)
+        a = gibbs_sweep(key, state, packed, cfg, impl="scan_cond")
+        assert int(np.asarray(a.cluster_size).min()) >= 1
+        for impl in ("pallas", "pallas_eager"):
+            b = gibbs_sweep(key, state, packed, cfg, impl=impl,
+                            interpret=True)
+            np.testing.assert_array_equal(np.asarray(a.assignment),
+                                          np.asarray(b.assignment))
+            np.testing.assert_array_equal(np.asarray(a.cluster_size),
+                                          np.asarray(b.cluster_size))
+        state = a
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_dense_matches_cond(seed):
     """The branch-free dense sweep equals the cond-patching sweep."""
