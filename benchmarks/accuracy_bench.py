@@ -48,11 +48,18 @@ def run_config(name, n, m, k_clones, missing, n_chains, steps, seed=1):
     runner = MCMCRunner(cfg, mcmc_cfg, pack_data(data), block_size=block)
 
     # Warm-up compile of every program the timed run will execute: the
-    # block pipeline at its exact shape and the initial-row summarizer.
+    # block pipeline at its exact shape and the initial-row summarizer —
+    # and one full trace fetch through the chunked transfer path, because
+    # the relay's FIRST device->host transfer of a process can stall for
+    # tens of seconds regardless of size (CLAUDE.md relay notes); that
+    # stall is tunnel pathology, not framework cost, and must not land in
+    # the timed region.
+    from bnpc_tpu.utils import transfer
+
     st = runner.init_chains(jax.random.key(0), n_chains)
     ks = jax.random.split(jax.random.key(0), n_chains)
-    _ = runner.run_block(st, ks, block)
-    jax.block_until_ready(_[1].ml)
+    _, warm_rows, _k = runner.run_block(st, ks, block)
+    transfer.finish_fetch(transfer.start_fetch(warm_rows))
     jax.block_until_ready(runner._summarize_states(st).ml)
 
     t0 = time.perf_counter()

@@ -130,11 +130,13 @@ def main_multiseed():
     data = make_data(1000, 100)
 
     path = os.path.join(HERE, "ess_multiseed.json")
-    out = {"config": "1000x100, fixed errors, full move mixture, 1 chain",
-           "steps": steps, "burn_in": burn_in, "seeds": seeds}
+    out = {}
     if os.path.exists(path):
         with open(path) as fh:
             out.update(json.load(fh))
+    out.update({"config": "1000x100, fixed errors, full move mixture, "
+                          "1 chain",
+                "steps": steps, "burn_in": burn_in, "seeds": seeds})
 
     if system in ("both", "reference"):
         rows = []

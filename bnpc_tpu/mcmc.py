@@ -14,6 +14,7 @@ lugsail, libs/MCMC.py:79-193) at block granularity.
 from __future__ import annotations
 
 import dataclasses
+import os
 from datetime import datetime
 from typing import NamedTuple
 
@@ -45,9 +46,32 @@ class TraceRow(NamedTuple):
     dp_alpha: jnp.ndarray    # [] f32
     fp: jnp.ndarray          # [] f32
     fn: jnp.ndarray          # [] f32
-    assignment: jnp.ndarray  # [n] i32
-    params: jnp.ndarray      # [trace_k, m] f32, live slots compacted to top
+    assignment: jnp.ndarray  # [n] smallest uint that holds k_max (D2H wire)
+    params: jnp.ndarray      # [trace_k, m] f16 wire format (see _trace_dtypes)
     mh_counts: jnp.ndarray   # [5, 2] i32 (params, splits, merges, FP, FN)
+
+
+def _trace_dtypes(cfg: ModelConfig):
+    """(assignment, params) wire dtypes for trace rows.
+
+    Traces cross the tunneled-TPU relay's slow device->host path every
+    block (see utils/transfer.py); at headline scale the params +
+    assignment leaves are ~50 MB per 400 steps and dominate end-to-end
+    `run()` wall-clock. The assignment cast is lossless (values are slot
+    indices < k_max). The params cast to f16 rounds the RECORDED Beta
+    means (not the sampler state) by <= 2^-11 relative — invisible in the
+    2-decimal genotype outputs; set BNPC_TPU_TRACE_F32=1 to record f32.
+    `_collect` casts both back so downstream consumers always see i32/f32.
+    """
+    if cfg.k_max <= 256:
+        a = jnp.uint8
+    elif cfg.k_max <= 65536:
+        a = jnp.uint16
+    else:
+        a = jnp.int32
+    p = (jnp.float32 if os.environ.get("BNPC_TPU_TRACE_F32") == "1"
+         else jnp.float16)
+    return a, p
 
 
 def resolve_trace_k(cfg: ModelConfig, mcmc_cfg: MCMCConfig) -> int:
@@ -86,14 +110,15 @@ def summarize(state: CRPState, data: PackedData, cfg: ModelConfig,
         cfg, state.cluster_size, state.params, state.dp_alpha,
         state.fp, state.fn, ax,
     )
+    a_dt, p_dt = _trace_dtypes(cfg)
     return TraceRow(
         ml=ml,
         map_=ml + lprior,
         dp_alpha=state.dp_alpha,
         fp=state.fp,
         fn=state.fn,
-        assignment=state.assignment,
-        params=_compact_params(state, trace_k),
+        assignment=state.assignment.astype(a_dt),
+        params=_compact_params(state, trace_k).astype(p_dt),
         mh_counts=jnp.zeros((5, 2), jnp.int32),
     )
 
@@ -725,8 +750,10 @@ class MCMCRunner:
                 DP_alpha=full.dp_alpha[c],
                 FN=full.fn[c],
                 FP=full.fp[c],
-                assignments=full.assignment[c],
-                params=params_c,
+                # Traces travel the relay in compact wire dtypes
+                # (_trace_dtypes); restore the documented i32/f32 contract.
+                assignments=full.assignment[c].astype(np.int32),
+                params=params_c.astype(np.float32),
                 burn_in=int(bi),
                 mh_counts=full.mh_counts[c].sum(axis=0),
             )

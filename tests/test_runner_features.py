@@ -310,6 +310,10 @@ def test_time_mode_checkpoint_resume(tmp_path):
     ckpt = str(tmp_path / "ck")
     r1 = _make_runner(ckpt, block_size=8)
     r1.checkpoint_every = 1
+    # Warm the compiled block first (cf. test_time_mode_burnin_interpolated):
+    # a cold compile can eat the whole wall-clock budget, leaving zero
+    # completed blocks and no checkpoint to assert on.
+    r1.run((8, 2), seed=4, n_chains=1, verbosity=0)
     start = datetime.now()
     res1 = r1.run((start + timedelta(seconds=8), start), seed=4,
                   n_chains=1, verbosity=0)[0]
