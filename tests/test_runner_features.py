@@ -387,3 +387,35 @@ def test_kmax_cap_posterior_invariance():
     # Log-likelihood scale ~ n*m; agree within a small relative band.
     assert abs(a["mean_ml"] - b["mean_ml"]) / abs(b["mean_ml"]) < 0.01, \
         summaries
+
+
+def test_trace_wire_dtypes(monkeypatch):
+    """Traces cross the device->host boundary in compact wire dtypes
+    (mcmc._trace_dtypes: f16 params + smallest-uint assignments) but
+    ChainResult always exposes the documented i32/f32 contract, and the
+    BNPC_TPU_TRACE_F32=1 opt-out changes only the params rounding —
+    assignments and the f32-computed scalar traces are bit-identical."""
+    from bnpc_tpu import mcmc as mcmc_mod
+    import jax.numpy as jnp
+
+    def cfg_k(k):
+        return ModelConfig(n_cells=max(k, 10), n_muts=4, k_max=k,
+                           p=.5, q=.5, fp=.01, fn=.1)
+
+    assert mcmc_mod._trace_dtypes(cfg_k(256)) == (jnp.uint8, jnp.float16)
+    assert mcmc_mod._trace_dtypes(cfg_k(257))[0] == jnp.uint16
+    assert mcmc_mod._trace_dtypes(cfg_k(70000))[0] == jnp.int32
+
+    res16 = _make_runner(block_size=8).run((16, 4), seed=9, n_chains=1,
+                                           verbosity=0)[0]
+    monkeypatch.setenv("BNPC_TPU_TRACE_F32", "1")
+    res32 = _make_runner(block_size=8).run((16, 4), seed=9, n_chains=1,
+                                           verbosity=0)[0]
+    for res in (res16, res32):
+        assert res.assignments.dtype == np.int32
+        assert res.params.dtype == np.float32
+    np.testing.assert_array_equal(res16.assignments, res32.assignments)
+    np.testing.assert_array_equal(res16.ML, res32.ML)
+    # f16 wire rounding perturbs recorded params by <= 2^-11 relative only.
+    np.testing.assert_allclose(res16.params, res32.params, atol=5e-4)
+    assert not np.array_equal(res16.params, res32.params)
