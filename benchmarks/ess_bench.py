@@ -168,7 +168,49 @@ def main_multiseed():
     print(f"wrote {path}")
 
 
+def main_headline():
+    """--headline: multi-seed ESS at the 5,000 x 200 headline config (ours
+    only — the reference needs >1 h per seed there; its ESS/sec is bounded
+    above by its steps/sec). Merges into ess_multiseed.json."""
+    def arg(name, default):
+        if name in sys.argv:
+            return sys.argv[sys.argv.index(name) + 1]
+        return default
+
+    seeds = int(arg("--seeds", "5"))
+    steps = int(arg("--steps", "900"))
+    burn_in = steps // 3
+    data = make_data(5000, 200)
+
+    path = os.path.join(HERE, "ess_multiseed.json")
+    out = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            out.update(json.load(fh))
+
+    rows = []
+    for seed in range(1, seeds + 1):
+        ml, dt = run_ours(data, steps, burn_in, seed=seed)
+        rows.append(summarize(f"bnpc_tpu 5000x200 seed {seed}", ml, dt,
+                              steps, burn_in))
+    out["headline_config"] = (f"5000x200, fixed errors, full move mixture, "
+                              f"1 chain, {steps} steps, {seeds} seeds")
+    out["headline_runs"] = rows
+    out["headline_ess_per_step"] = _agg(rows, "ess_per_step")
+    out["headline_ess_per_sec"] = _agg(rows, "ess_per_sec")
+    for key in ("headline_ess_per_step", "headline_ess_per_sec"):
+        agg = out[key]
+        print(f"{key}: {agg['mean']:.4f} +- {agg['ci95_half']:.4f} "
+              f"(95% CI, {seeds} seeds)")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(f"wrote {path}")
+
+
 def main():
+    if "--headline" in sys.argv:
+        main_headline()
+        return
     if "--seeds" in sys.argv:
         main_multiseed()
         return
