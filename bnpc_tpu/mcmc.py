@@ -401,6 +401,31 @@ class _TraceBuffer:
             lambda *xs: np.concatenate(xs, axis=1), *self.rows
         )
 
+    def trim_params(self, new_from: int):
+        """Ratchet ``params_from`` upward, dropping already-retained params
+        rows with global index < ``new_from``. For modes whose burn-in GROWS
+        with the trace (lugsail's steps//2), this keeps host retention of
+        the big params leaf at ~post-burn-in size throughout the run
+        instead of full rate (the reference trims once at the end,
+        libs/MCMC.py:173-177). Materializes in-flight fetches first — in
+        practice free, because the lugsail loop calls concat() (which also
+        materializes) right before each trim."""
+        if new_from <= self.params_from:
+            return
+        self.params_from = new_from
+        self.rows = [transfer.finish_fetch(r) for r in self.rows]
+        start = 1  # global row index of block 0's first step row
+        for i, r in enumerate(self.rows):
+            b = r.ml.shape[1]
+            bp = r.params.shape[1]
+            p_start = start + (b - bp)  # earlier trims drop LEADING rows
+            k = min(new_from - p_start, bp)
+            if k > 0:
+                # .copy(): a numpy slice is a view that pins the full base
+                # buffer — copying is what actually frees the memory.
+                self.rows[i] = r._replace(params=r.params[:, k:].copy())
+            start += b
+
     @property
     def n_steps(self) -> int:
         return sum(r.ml.shape[1] for r in self.rows)
@@ -739,9 +764,13 @@ class MCMCRunner:
             bi = burn_in if np.isscalar(burn_in) else burn_in[c]
             if buf.params_from > 0:
                 # The buffer only retained params rows with global index
-                # >= params_from (== burn_in in steps mode): already the
-                # post-burn-in slice, and the initial row is excluded.
+                # >= params_from (== burn_in in steps mode; <= the final
+                # burn-in under lugsail's ratcheting trim, so slice any
+                # remainder). The initial row is excluded either way.
                 params_c = np.asarray(rows.params[c])
+                extra = int(bi) - buf.params_from
+                if extra > 0:
+                    params_c = params_c[extra:]
             else:
                 params_c = full.params[c][int(bi):]
             res = ChainResult(
@@ -907,6 +936,11 @@ class MCMCRunner:
             if _os.path.exists(ckpt_path):
                 states, keys, rows, _, saved_init = \
                     self.load_checkpoint(ckpt_path)
+                ex = getattr(self, "_ckpt_extra", None) or {}
+                if "params_from" in ex:
+                    # The checkpointed rows carry a ratchet-trimmed params
+                    # leaf; append() recognizes it by its row count.
+                    buf.params_from = int(ex["params_from"])
                 if rows is not None:
                     buf.append(rows)
                 if saved_init is not None:
@@ -937,6 +971,11 @@ class MCMCRunner:
             psrf_log.append((steps_run, psrf))
             if verbosity > 1:
                 print(f"\tPSRF at {steps_run}:\t{psrf:.5f}")
+            # Burn-in only grows with the trace (steps//2+1), so params
+            # rows below the CURRENT burn-in can never be needed — drop
+            # them now instead of retaining the full-rate trace until the
+            # end (reference trims post-hoc, libs/MCMC.py:173-177).
+            buf.trim_params((buf.n_steps + 1) // 2 + 1)
             if psrf <= cutoff:
                 break
             states, rows, keys = self.run_block(states, keys, extension)
@@ -947,6 +986,7 @@ class MCMCRunner:
                     extra={
                         "psrf_steps": [s for s, _ in psrf_log],
                         "psrf_vals": [v for _, v in psrf_log],
+                        "params_from": buf.params_from,
                     })
         burn_in = (buf.n_steps + 1) // 2 + 1
         return self._collect(buf, init_rows, burn_in, psrf=psrf_log,

@@ -419,3 +419,32 @@ def test_trace_wire_dtypes(monkeypatch):
     # f16 wire rounding perturbs recorded params by <= 2^-11 relative only.
     np.testing.assert_allclose(res16.params, res32.params, atol=5e-4)
     assert not np.array_equal(res16.params, res32.params)
+
+
+def test_lugsail_params_trimmed_progressively():
+    """Lugsail mode ratchets params retention to the growing burn-in
+    (steps//2+1) during the run; the final ChainResult params cover
+    exactly the post-burn-in rows and match an untrimmed run."""
+    from bnpc_tpu import mcmc as mcmc_mod
+    from tests.test_moves import make_problem
+
+    data, _ = make_problem(n=24, m=12, k_clones=2, seed=11)
+    cfg = ModelConfig(n_cells=24, n_muts=12, k_max=12, p=0.25, q=0.25,
+                      fp=0.01, fn=0.1)
+    packed = pack_data(data)
+
+    res = MCMCRunner(cfg, MCMCConfig(), packed, block_size=16).run(
+        (1.2, 0), seed=3, n_chains=2, verbosity=0)
+    for r in res:
+        assert r.params.shape[0] == r.ML.size - r.burn_in
+
+    orig = mcmc_mod._TraceBuffer.trim_params
+    mcmc_mod._TraceBuffer.trim_params = lambda self, nf: None
+    try:
+        res_full = MCMCRunner(cfg, MCMCConfig(), packed, block_size=16).run(
+            (1.2, 0), seed=3, n_chains=2, verbosity=0)
+    finally:
+        mcmc_mod._TraceBuffer.trim_params = orig
+    for a, b in zip(res, res_full):
+        np.testing.assert_array_equal(a.params, b.params)
+        np.testing.assert_array_equal(a.ML, b.ML)
