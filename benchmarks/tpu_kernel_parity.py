@@ -51,6 +51,8 @@ def main():
         lambda k, s: gibbs_sweep(k, s, packed, cfg, impl="scan_cond"))
     sweep_pl = jax.jit(
         lambda k, s: gibbs_sweep(k, s, packed, cfg, impl="pallas"))
+    sweep_st = jax.jit(
+        lambda k, s: gibbs_sweep(k, s, packed, cfg, impl="pallas_stream"))
     sm_scan = jax.jit(
         lambda k, s: split_merge(k, s, packed, cfg, 0.9, 3, impl="scan"))
     sm_pl = jax.jit(
@@ -75,6 +77,12 @@ def main():
         np.testing.assert_allclose(
             np.asarray(a.params)[live], np.asarray(b.params)[live],
             rtol=1e-5, atol=1e-5)
+        c = sweep_st(key, state)
+        if not np.array_equal(asn_a, np.asarray(c.assignment)):
+            mismatch_seeds.append(("sweep_stream", seed))
+            continue
+        np.testing.assert_array_equal(np.asarray(a.cluster_size),
+                                      np.asarray(c.cluster_size))
         # Count births (slots occupied after that were free before): the
         # pl.when SMEM write-then-read path under test.
         before = np.asarray(state.cluster_size) > 0
@@ -91,7 +99,8 @@ def main():
     assert births >= 10, f"only {births} births exercised — raise seeds"
     assert not mismatch_seeds, mismatch_seeds
     print(f"tpu_kernel_parity OK: 30 seeds, {births} birth events, "
-          "sweep + restricted-scan kernels match the scan impls on device")
+          "sweep (resident + stream) + restricted-scan kernels match the "
+          "scan impls on device")
 
 
 if __name__ == "__main__":

@@ -105,25 +105,44 @@ def _is_batched(x) -> bool:
     return isinstance(x, BatchTracer)
 
 
+# Above this cell count the sweep kernels' [n]-sized SMEM arrays stop
+# fitting scalar memory. The streaming kernel keeps three (aux/assign/
+# targets, all in visit order): measured on v5e, 65,536 cells (~786 KB)
+# compiles and runs, 98,304 does not (benchmarks/smem_probe.py). The
+# resident kernel keeps four, but its VMEM budget caps it at ~26k cells
+# long before SMEM matters.
+SMEM_CELL_CAP = 65536
+
+
+def resolve_stream(cfg: ModelConfig) -> bool:
+    """True when impl="pallas" means the STREAMING lazy kernel: the
+    VMEM-resident Z matrix no longer fits, so Z stays in HBM and the kernel
+    stages it through chunk buffers (ops/pallas_gibbs.py::
+    pallas_lazy_segment_stream)."""
+    from bnpc_tpu.ops.pallas_gibbs import lazy_vmem_budget_bytes
+
+    return lazy_vmem_budget_bytes(cfg.n_cells, cfg.k_max) > 13 * 1024 * 1024
+
+
 def pallas_available(cfg: ModelConfig, ax: MutAxis = _NO_AXIS,
                      eager: bool = False) -> bool:
-    """Whether the fused Pallas sweep can run here: TPU backend, unsharded
-    mutation axis, and the resident buffers fit in VMEM (~16 MB/core;
-    ~3 MB headroom left for Mosaic temporaries). The default lazy kernel
-    only keeps Z resident; the eager kernel also stages a column block."""
+    """Whether a fused Pallas sweep can run here: TPU backend, unsharded
+    mutation axis, and the buffers fit. The eager kernel needs all of
+    Z + the column staging block resident in VMEM (~16 MB/core; ~3 MB
+    headroom left for Mosaic temporaries); the default lazy kernel needs
+    just Z — and when even that exceeds VMEM, the streaming variant takes
+    over (Z in HBM, chunk-staged), bounded only by the SMEM cell cap."""
     import os
 
-    from bnpc_tpu.ops.pallas_gibbs import (lazy_vmem_budget_bytes,
-                                           vmem_budget_bytes)
+    from bnpc_tpu.ops.pallas_gibbs import vmem_budget_bytes
 
     if os.environ.get("BNPC_TPU_PALLAS", "") == "0":
         return False
-    budget = vmem_budget_bytes if eager else lazy_vmem_budget_bytes
-    return (
-        not ax.sharded
-        and jax.default_backend() == "tpu"
-        and budget(cfg.n_cells, cfg.k_max) <= 13 * 1024 * 1024
-    )
+    if ax.sharded or jax.default_backend() != "tpu":
+        return False
+    if eager:
+        return vmem_budget_bytes(cfg.n_cells, cfg.k_max) <= 13 * 1024 * 1024
+    return cfg.n_cells <= SMEM_CELL_CAP
 
 
 def gibbs_sweep(key, state: CRPState, data: PackedData,
@@ -144,7 +163,8 @@ def gibbs_sweep(key, state: CRPState, data: PackedData,
     elif impl == "auto_single":
         impl = "pallas" if pallas_available(cfg, ax) else "scan"
 
-    if impl in ("pallas", "pallas_eager") and _is_batched(state.assignment):
+    if impl in ("pallas", "pallas_eager", "pallas_stream") \
+            and _is_batched(state.assignment):
         import warnings
 
         warnings.warn(
@@ -164,12 +184,20 @@ def gibbs_sweep(key, state: CRPState, data: PackedData,
     new_post = lk.new_cluster_ll(data, cfg, state.fp, state.fn) \
         + jnp.log(alpha) - log_denom
 
+    if impl == "pallas" and resolve_stream(cfg):
+        impl = "pallas_stream"
     if impl == "pallas":
         # Lazy-birth kernel: newborn rows are drawn (and their Z columns
         # computed) only for the cells that actually birth a cluster.
         perm, gumbel, k_beta = _sweep_keys(key, state, cfg, ax)
         return _pallas_lazy_impl(state, data, cfg, perm, gumbel, k_beta,
                                  new_post, log_denom, interpret)
+    if impl == "pallas_stream":
+        # Streaming lazy kernel: Z stays in HBM, staged through VMEM chunk
+        # buffers — the path for cell counts beyond the resident-Z cap.
+        perm, gumbel, k_beta = _sweep_keys(key, state, cfg, ax)
+        return _pallas_stream_impl(state, data, cfg, perm, gumbel, k_beta,
+                                   new_post, log_denom, interpret)
 
     perm, gumbel, fresh = _hoisted_randomness(key, state, data, cfg, ax)
 
@@ -458,6 +486,87 @@ def _pallas_lazy_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
         return (i_next, z, assign, sizes, params)
 
     init = (jnp.int32(0), z0, state.assignment.astype(jnp.int32),
+            sizes0, state.params)
+    _, _, assignment, sizes, params = jax.lax.while_loop(cond, body, init)
+    return state._replace(
+        assignment=assignment,
+        cluster_size=sizes[0, :k_max].astype(jnp.int32),
+        params=params,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming lazy-birth fused Pallas implementation (beyond-VMEM cell counts)
+# ---------------------------------------------------------------------------
+
+
+def _pallas_stream_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
+                        log_denom, interpret):
+    """The lazy-birth sweep with Z resident in HBM instead of VMEM: the
+    VMEM-resident kernel caps n * k_pad at ~26k cells x 128 slots; this path
+    reorders everything into VISIT (permutation) order once per sweep so the
+    segment kernel (ops/pallas_gibbs.py::pallas_lazy_segment_stream) can
+    stage Z sequentially through a chunk-sized VMEM buffer. Launch/patch
+    structure and semantics are identical to _pallas_lazy_impl — the only
+    moving part is WHERE Z lives — and results are bit-identical to the
+    scan/lazy impls given the same sweep key (tests/test_pallas.py)."""
+    from bnpc_tpu.ops.pallas_gibbs import (_round_up, pallas_lazy_segment_stream,
+                                           stream_chunk_rows)
+
+    n, m, k_max = cfg.n_cells, cfg.n_muts, cfg.k_max
+    k_pad = _round_up(k_max, 128)
+    C = min(stream_chunk_rows(k_max), _round_up(n, 8))
+    G = -(-n // C)
+    nC = G * C
+
+    c1, c0 = lk.log_prob_tables(state.params, state.fp, state.fn)
+    z0 = lk.ll_matrix(data, c1, c0) + gumbel[:, :k_max]  # [n, k_max]
+    # Visit-order gather + chunking (one memory pass per sweep).
+    zp = jnp.pad(jnp.take(z0, perm, axis=0),
+                 [(0, nC - n), (0, k_pad - k_max)])
+    zp3 = zp.reshape(G, C, k_pad)
+    auxp = jnp.take(new_post + gumbel[:, k_max], perm)
+    # Each cell is visited exactly once, so the assignment the kernel needs
+    # at a position is always the PRE-SWEEP one — static per sweep.
+    assignp = jnp.take(state.assignment, perm).astype(jnp.int32)
+    permC = jnp.pad(perm.astype(jnp.int32), (0, nC - n))
+
+    sizes0 = jnp.concatenate([
+        state.cluster_size.astype(jnp.float32),
+        jnp.full((k_pad - k_max,), -1.0, jnp.float32),
+    ])[None, :]
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    def cond(carry):
+        return carry[0] < n
+
+    def body(carry):
+        i0, zp3, assign, sizes, params = carry
+        tgt, sizes, info = pallas_lazy_segment_stream(
+            zp3, auxp, assignp, sizes, i0, log_denom, interpret=interpret,
+        )
+        i_next, bpos, bslot = info[0], info[1], info[2]
+        done = (pos >= i0) & (pos < i_next)
+        assign = assign.at[perm].set(jnp.where(done, tgt, assign[perm]))
+
+        def patch(zp3, params):
+            bcell = permC[jnp.maximum(bpos, 0)]
+            theta = fresh_row(k_beta, bcell, data, cfg)
+            f1r, f0r = lk.log_prob_tables(theta, state.fp, state.fn)
+            col = lk.ll_col(f1r, f0r, data.xm, data.xm0) \
+                + jnp.take(gumbel, bslot, axis=1)
+            colp = jnp.pad(jnp.take(col, perm), (0, nC - n))
+            zp2 = jax.lax.dynamic_update_slice(
+                zp3.reshape(nC, k_pad), colp[:, None], (jnp.int32(0), bslot),
+            ).reshape(G, C, k_pad)
+            return zp2, params.at[bslot].set(theta)
+
+        zp3, params = jax.lax.cond(
+            bpos >= 0, patch, lambda z_, p_: (z_, p_), zp3, params
+        )
+        return (i_next, zp3, assign, sizes, params)
+
+    init = (jnp.int32(0), zp3, state.assignment.astype(jnp.int32),
             sizes0, state.params)
     _, _, assignment, sizes, params = jax.lax.while_loop(cond, body, init)
     return state._replace(

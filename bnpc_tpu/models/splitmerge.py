@@ -464,14 +464,24 @@ def _reverse_split_prob(key, ctx, rgs: _RGState, state, data, cfg,
 # ---------------------------------------------------------------------------
 
 
-def rg_pallas_available(ax: MutAxis = _NO_AXIS) -> bool:
+# The rg kernel keeps five [n]-sized arrays in scalar memory (~20 bytes per
+# cell); 50,000 cells (~1 MB) compiles and runs on v5e, 65,536 does not
+# (benchmarks/smem_probe.py). Beyond the cap split-merge falls back to the
+# chunked scan while the (3-array) streaming sweep kernel keeps running.
+RG_SMEM_CELL_CAP = 50000
+
+
+def rg_pallas_available(ax: MutAxis = _NO_AXIS, n_cells: int = 0) -> bool:
     """Whether the scalar-SMEM restricted-scan kernel can run here: TPU
-    backend and an unsharded mutation axis (the kernel is per-chip serial
+    backend, an unsharded mutation axis (the kernel is per-chip serial
     SMEM work — it has no collective story, and under vmap the batched SMEM
-    state does not fit the scalar formulation)."""
+    state does not fit the scalar formulation), and the move's [n] scalar
+    arrays fit SMEM."""
     import os
 
     if os.environ.get("BNPC_TPU_PALLAS", "") == "0":
+        return False
+    if n_cells > RG_SMEM_CELL_CAP:
         return False
     return not ax.sharded and jax.default_backend() == "tpu"
 
@@ -490,7 +500,7 @@ def split_merge(key, state: CRPState, data: PackedData, cfg: ModelConfig,
     if impl == "auto":
         impl = "scan"
     elif impl == "auto_single":
-        impl = "pallas" if rg_pallas_available(ax) else "scan"
+        impl = "pallas" if rg_pallas_available(ax, cfg.n_cells) else "scan"
     if impl == "pallas":
         from bnpc_tpu.models.gibbs import _is_batched
 

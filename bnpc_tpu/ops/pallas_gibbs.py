@@ -427,3 +427,165 @@ def lazy_vmem_budget_bytes(n: int, k_max: int) -> int:
     """VMEM the lazy segment kernel needs resident (just Z), in bytes."""
     k_pad = _round_up(k_max, 128)
     return 4 * _round_up(n, 8) * k_pad
+
+
+# ---------------------------------------------------------------------------
+# Streaming (HBM-chunked) lazy segment kernel
+# ---------------------------------------------------------------------------
+#
+# The resident kernels above cap n * k_pad at VMEM (~26k cells at k_pad=128).
+# This variant keeps Z in HBM and stages it through a chunk-sized VMEM buffer
+# instead, so the sweep scales to any cell count the chip's HBM holds.
+#
+# Two reformulations make the streaming cheap:
+#   * everything is in VISIT (permutation) order — the caller gathers
+#     Z/aux/assign by `perm` once per sweep — so the kernel consumes rows
+#     SEQUENTIALLY and a chunk is one tile-aligned leading-dim DMA
+#     (zp3[g] -> buf), with no in-kernel permutation indirection at all;
+#   * the chunk DMA is synchronous (no double buffering): staging 2048 rows
+#     costs ~1 us of HBM bandwidth against ~470 us of serial per-cell
+#     compute, so overlap would hide nothing.
+#
+# Early exit at a birth works exactly like pallas_lazy_segment: the kernel
+# returns (i_next, birth_pos, birth_slot) and the caller patches the newborn
+# Z column (in visit order) and relaunches.
+
+
+def _lazy_stream_kernel(
+    # inputs
+    zp3_ref,        # [G, C, k_pad] f32, ANY/HBM — Z rows in VISIT order
+    auxp_ref,       # [n] f32, SMEM — new-cluster logit per position
+    assignp_ref,    # [n] i32, SMEM — pre-sweep assignment of perm[i]
+    sizes_in_ref,   # [1, k_pad] f32, VMEM (-1 sentinel on padded slots)
+    i0_ref,         # [1] i32, SMEM — start position
+    logden_ref,     # [1, 1] f32, SMEM
+    # outputs
+    tgt_out_ref,    # [n] i32, SMEM — chosen slot per position
+    sizes_out_ref,  # [1, k_pad] f32, VMEM
+    info_ref,       # [3] i32, SMEM — (i_next, birth_pos, birth_slot)
+    # scratch
+    buf,            # [C, k_pad] f32, VMEM — chunk staging buffer
+    free_scr,       # [1] i32, SMEM
+    sem,
+):
+    n = auxp_ref.shape[0]
+    C, k_pad = buf.shape
+
+    log_denom = logden_ref[0, 0]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)[0]
+
+    def outer_cond(carry):
+        p, _, bpos, _ = carry
+        return (p < n) & (bpos < 0)
+
+    def outer_body(carry):
+        p, sizes0, bpos0, bslot0 = carry
+        g = jax.lax.div(p, C)
+        dma = pltpu.make_async_copy(zp3_ref.at[g], buf, sem)
+        dma.start()
+        dma.wait()
+        end_g = jnp.minimum((g + 1) * C, n)
+        base = g * C
+
+        def cond(carry):
+            pp, _, bpos, _ = carry
+            return (pp < end_g) & (bpos < 0)
+
+        def body(carry):
+            pp, sizes_cur, _, _ = carry
+            old = assignp_ref[pp]
+            sizes = sizes_cur - (iota_k == old).astype(jnp.float32)
+
+            v = buf[pl.ds(pp - base, 1), :][0]
+            logits = v + (jnp.log(jnp.maximum(sizes, 0.0)) - log_denom)
+            best_old = jnp.max(logits)
+            idx_old = jnp.argmax(logits).astype(jnp.int32)
+
+            cand = auxp_ref[pp] > best_old
+            free_scr[0] = k_pad
+
+            @pl.when(cand)
+            def _():
+                # First free slot; NOT jnp.argmax (see eager kernel notes).
+                free_scr[0] = jnp.min(
+                    jnp.where(sizes == 0.0, iota_k, k_pad)
+                ).astype(jnp.int32)
+
+            free = free_scr[0]
+            is_new = cand & (free < k_pad)
+            target = jnp.where(is_new, free, idx_old)
+
+            tgt_out_ref[pp] = target
+            sizes = sizes + (iota_k == target).astype(jnp.float32)
+            bpos = jnp.where(is_new, pp, -1)
+            bslot = jnp.where(is_new, free, -1)
+            return (pp + 1, sizes, bpos, bslot)
+
+        return jax.lax.while_loop(cond, body, (p, sizes0, bpos0, bslot0))
+
+    i, sizes, bpos, bslot = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (i0_ref[0], sizes_in_ref[0, :], jnp.int32(-1), jnp.int32(-1)),
+    )
+    sizes_out_ref[0, :] = sizes
+    info_ref[0] = i
+    info_ref[1] = bpos
+    info_ref[2] = bslot
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_lazy_segment_stream(zp3, auxp, assignp, sizes, i0, log_denom, *,
+                               interpret=False):
+    """Run one birth-bounded segment of the sweep, streaming Z from HBM.
+
+    zp3: [G, C, k_pad] the Gumbel-folded Z matrix in VISIT order, chunked
+    (rows >= n are padding); auxp [n] f32 and assignp [n] i32 also in visit
+    order; sizes [1, k_pad] f32 with -1 sentinels; i0 scalar i32.
+
+    Returns (targets_by_position [n] i32, sizes [1, k_pad] f32,
+    info [3] i32 = (i_next, birth_pos, birth_slot)); birth_pos is a
+    PERMUTATION POSITION (the caller maps it to a cell via perm).
+    """
+    _, C, k_pad = zp3.shape
+    n = auxp.shape[0]
+
+    return pl.pallas_call(
+        _lazy_stream_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((3,), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # zp3
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # auxp
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # assignp
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sizes
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # i0
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # log_denom
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(zp3.shape[1:], jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(
+        zp3,
+        auxp.astype(jnp.float32),
+        assignp.astype(jnp.int32),
+        sizes.astype(jnp.float32),
+        jnp.asarray(i0, jnp.int32)[None],
+        jnp.asarray(log_denom, jnp.float32)[None, None],
+    )
+
+
+def stream_chunk_rows(k_max: int, budget_bytes: int = 8 * 1024 * 1024) -> int:
+    """Chunk row count for the streaming kernel: fill ~half of VMEM."""
+    k_pad = _round_up(k_max, 128)
+    return max(8, _round_up(budget_bytes // (4 * k_pad), 8))

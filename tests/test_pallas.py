@@ -28,8 +28,9 @@ def test_pallas_matches_scan(seed):
     key = jax.random.key(100 + seed)
 
     out_scan = gibbs_sweep(key, state, packed, cfg, impl="scan_cond")
-    # "pallas" is the lazy-birth path; "pallas_eager" the round-2 kernel.
-    for impl in ("pallas", "pallas_eager"):
+    # "pallas" is the lazy-birth path; "pallas_eager" the round-2 kernel;
+    # "pallas_stream" the HBM-chunked lazy variant for beyond-VMEM n.
+    for impl in ("pallas", "pallas_eager", "pallas_stream"):
         out_pl = gibbs_sweep(key, state, packed, cfg, impl=impl,
                              interpret=True)
 
@@ -154,7 +155,7 @@ def test_pallas_saturated_capacity_matches_scan():
         key = jax.random.key(40 + seed)
         a = gibbs_sweep(key, state, packed, cfg, impl="scan_cond")
         assert int(np.asarray(a.cluster_size).min()) >= 1
-        for impl in ("pallas", "pallas_eager"):
+        for impl in ("pallas", "pallas_eager", "pallas_stream"):
             b = gibbs_sweep(key, state, packed, cfg, impl=impl,
                             interpret=True)
             np.testing.assert_array_equal(np.asarray(a.assignment),
@@ -162,6 +163,37 @@ def test_pallas_saturated_capacity_matches_scan():
             np.testing.assert_array_equal(np.asarray(a.cluster_size),
                                           np.asarray(b.cluster_size))
         state = a
+
+
+def test_stream_chunked_matches_scan(monkeypatch):
+    """The streaming kernel with a TINY chunk size (several chunks per
+    segment, chunk boundaries interleaved with birth-driven relaunches) is
+    still bit-identical to the scan. Exercises the outer chunk loop, the
+    mid-chunk early exit, and i0 landing inside a later chunk."""
+    import bnpc_tpu.ops.pallas_gibbs as pg
+
+    monkeypatch.setattr(pg, "stream_chunk_rows", lambda k, **kw: 8)
+
+    data, _ = make_problem(n=28, m=12, k_clones=2, seed=5)
+    cfg = ModelConfig(n_cells=28, n_muts=12, k_max=28, p=0.25, q=0.25,
+                      fp=0.01, fn=0.1)
+    packed = pack_data(data)
+
+    births = 0
+    for seed in range(6):
+        state = init_state(jax.random.key(seed), cfg, packed, mode="random")
+        key = jax.random.key(500 + seed)
+        a = gibbs_sweep(key, state, packed, cfg, impl="scan_cond")
+        b = gibbs_sweep(key, state, packed, cfg, impl="pallas_stream",
+                        interpret=True)
+        np.testing.assert_array_equal(np.asarray(a.assignment),
+                                      np.asarray(b.assignment))
+        np.testing.assert_array_equal(np.asarray(a.cluster_size),
+                                      np.asarray(b.cluster_size))
+        was_free = np.asarray(state.cluster_size) == 0
+        births += int((was_free & (np.asarray(b.cluster_size) > 0)).sum())
+        check_state_invariants(b, cfg)
+    assert births >= 1, "no birth events exercised — change the seeds"
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
