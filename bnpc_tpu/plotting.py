@@ -161,40 +161,62 @@ def _add_chain_traces(res, ax, color, alpha=0.4, std_fkt=2.576):
 
 def plot_genotypes(data_in: pd.DataFrame, data_raw_in=None, out_file=None,
                    assignment=None, row_cl=True):
-    data = data_in.copy()
-    data_raw = (
-        data_raw_in.copy() if data_raw_in is not None else pd.DataFrame()
-    )
-
     # Reference sizing (libs/plotting.py:70-71), capped: at thousands of
     # cells the uncapped formula yields a 500-inch canvas that takes
     # minutes to render and is unreadable anyway.
-    height = min(max(int(data.shape[0] // 5), 2), 60)
-    width = min(max(int(data.shape[1] // 10), 4), 120)
+    height = min(max(int(data_in.shape[0] // 5), 2), 60)
+    width = min(max(int(data_in.shape[1] // 10), 4), 120)
 
-    cluster_cols = None
-    x_labels = data_in.columns
+    have_raw = data_raw_in is not None
+    x_labels = np.asarray(data_in.columns)
+    col_sel = np.arange(data_in.shape[1])
+    col_colors = None
     if assignment is not None and len(assignment) > 0:
-        col_order = _cluster_col_order(assignment)
+        if have_raw:
+            x_labels = np.asarray(data_raw_in.columns)
+        col_sel = _cluster_col_order(assignment)
         clusters, cl_cnt = np.unique(assignment, return_counts=True)
         extra = _color_cycle(max(clusters.size - len(COLORS), 1))
         col_map = {}
         for i, cl in enumerate(clusters[np.argsort(cl_cnt)[::-1]]):
             col_map[cl] = COLORS[i] if i < len(COLORS) else next(extra)
+        col_colors = np.array(
+            [col_map[c] for c in np.asarray(assignment)[col_sel]],
+            dtype="<U7",
+        )
 
-        col_colors = np.full(data_in.shape[1], "#ffffff", dtype="<U7")
-        for i, cell in enumerate(col_order):
-            col_colors[i] = col_map[assignment[cell]]
-        cluster_cols = pd.Series(col_colors, name="clusters", index=col_order)
+    # Very wide matrices: subsample columns evenly AFTER cluster ordering
+    # (preserves per-cluster proportions and block structure). At tens of
+    # thousands of cells the capped canvas leaves multiple cells per
+    # rendered pixel anyway, while the uncapped pcolormesh costs ~10 min
+    # of render time at n = 50,000. Documented deviation, same spirit as
+    # the canvas cap above.
+    max_cols = 4096
+    if col_sel.size > max_cols:
+        keep = np.unique(
+            np.linspace(0, col_sel.size - 1, max_cols).astype(int)
+        )
+        col_sel = col_sel[keep]
+        if col_colors is not None:
+            col_colors = col_colors[keep]
 
-        data.columns = np.arange(data_in.shape[1])
-        data = data[col_order]
-        if not data_raw.empty:
-            data_raw.columns = np.arange(data_raw_in.shape[1])
-            data_raw = data_raw[col_order]
-            x_labels = data_raw_in.columns[col_order]
-        else:
-            x_labels = data_in.columns[col_order]
+    # One positional take per frame: label-based pandas column selection
+    # fragments the block manager at 50k columns (~19 s of consolidate).
+    disp_cols = np.arange(col_sel.size)
+    data = pd.DataFrame(
+        data_in.to_numpy()[:, col_sel], index=data_in.index,
+        columns=disp_cols,
+    )
+    data_raw = (
+        pd.DataFrame(data_raw_in.to_numpy()[:, col_sel],
+                     index=data_raw_in.index, columns=disp_cols)
+        if have_raw else pd.DataFrame()
+    )
+    x_labels = x_labels[col_sel]
+    cluster_cols = (
+        pd.Series(col_colors, name="clusters", index=disp_cols)
+        if col_colors is not None else None
+    )
 
     if row_cl and data.shape[0] > 2:
         z = linkage(data.fillna(3), "complete")
@@ -247,6 +269,11 @@ def plot_genotypes(data_in: pd.DataFrame, data_raw_in=None, out_file=None,
         plt.show()
     else:
         dpi = 300 if data.shape[0] < 50 else (200 if data.shape[0] < 100 else 100)
+        # Rasterized large plots: cap the image at ~8k px across — beyond
+        # ~2 px per (subsampled) column the extra resolution only slows the
+        # agg render and the PDF image write (~35 s at 12k px).
+        if data.size > 30_000:
+            dpi = min(dpi, max(40, 8000 // width))
         cm.savefig(out_file, dpi=dpi)
     plt.close("all")
 

@@ -165,6 +165,37 @@ def test_pallas_saturated_capacity_matches_scan():
         state = a
 
 
+def test_kernel_tier_resolution(monkeypatch):
+    """Kernel tiering on a TPU backend: resident lazy kernel while Z fits
+    VMEM, streaming kernel beyond it, scan above the measured SMEM cell
+    cap; the rg kernel caps at its own (five-array) SMEM bound."""
+    import jax as _jax
+
+    from bnpc_tpu.models import gibbs
+    from bnpc_tpu.models.splitmerge import (RG_SMEM_CELL_CAP,
+                                            rg_pallas_available)
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+
+    def cfg_for(n, k):
+        return ModelConfig(n_cells=n, n_muts=50, k_max=k, p=0.25, q=0.25,
+                           fp=0.01, fn=0.1)
+
+    # Headline shape: resident lazy kernel.
+    assert gibbs.pallas_available(cfg_for(5000, 256))
+    assert not gibbs.resolve_stream(cfg_for(5000, 256))
+    # Beyond the resident VMEM budget: still available, via streaming.
+    assert gibbs.pallas_available(cfg_for(50000, 128))
+    assert gibbs.resolve_stream(cfg_for(50000, 128))
+    # ... but the eager kernel is VMEM-bound and unavailable there.
+    assert not gibbs.pallas_available(cfg_for(50000, 128), eager=True)
+    # Beyond the measured SMEM cell cap: no fused sweep at all.
+    assert not gibbs.pallas_available(cfg_for(gibbs.SMEM_CELL_CAP + 8, 128))
+    # The restricted-scan kernel caps independently (scan fallback above).
+    assert rg_pallas_available(n_cells=RG_SMEM_CELL_CAP)
+    assert not rg_pallas_available(n_cells=RG_SMEM_CELL_CAP + 1)
+
+
 def test_stream_chunked_matches_scan(monkeypatch):
     """The streaming kernel with a TINY chunk size (several chunks per
     segment, chunk boundaries interleaved with birth-driven relaunches) is
