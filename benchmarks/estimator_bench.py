@@ -52,14 +52,19 @@ def main():
     stamps = [("start", time.perf_counter())]
 
     # Warm-up device attach + co-clustering compile outside the timing.
+    # (Only small shapes: at large n the exact path's [n, n] buffer must
+    # never be built — that is the point of the matrix-free path.)
     jax.block_until_ready(
-        estimators._coclustering_device(assigns[:64])
+        estimators._coclustering_device(assigns[:64, :512])
+    )
+    jax.block_until_ready(
+        estimators._sim_to_cols_device(assigns[:64, :512], np.arange(16))
     )
     stamps = [("start", time.perf_counter())]
 
     assign = estimators.mpear_assignment(assigns)
-    stamps.append(("mpear_assignment (accumulate + tree "
-                   "+ exact device scoring)", time.perf_counter()))
+    stamps.append(("mpear_assignment (similarity + tree "
+                   "+ exact scoring)", time.perf_counter()))
 
     assign2, geno = estimators.consensus_genotypes(assigns, params,
                                                    assign=assign)

@@ -20,6 +20,35 @@ Design (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _tune_host_allocator():
+    """Serve large allocations from the reusable glibc heap.
+
+    numpy hands buffers above glibc's mmap threshold straight to
+    mmap/munmap, so every big host temporary (trace stacking, estimator
+    contingency arrays) pays demand-paging faults on first touch. On
+    virtualized hosts with slow page-in (measured here: ~90 MB/s, i.e.
+    ~20 s for a [500, 50000] int64 temporary) that dwarfs the compute.
+    Raising M_MMAP_THRESHOLD keeps those buffers on the heap, which grows
+    once to its high-water mark and is reused afterwards (measured: the
+    same temporary drops to ~0.1 s steady-state). Harmless where paging
+    is fast; disable with BNPC_TPU_NO_MALLOC_TUNE=1.
+    """
+    if _os.environ.get("BNPC_TPU_NO_MALLOC_TUNE") == "1":
+        return
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 28)  # M_MMAP_THRESHOLD = -3
+    except Exception:  # non-glibc platform: keep defaults
+        pass
+
+
+_tune_host_allocator()
+
 import jax as _jax
 
 # All matmuls in this package are either log-likelihood accumulations or

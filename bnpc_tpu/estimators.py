@@ -102,6 +102,38 @@ def mean_hamming_condensed(assignments: np.ndarray) -> np.ndarray:
     return squareform(1.0 - sim, checks=False)
 
 
+def _sim_to_cols_device(assignments: np.ndarray, cols: np.ndarray):
+    """Device-array [n, L] mean co-clustering similarity of every cell to
+    the cells in `cols`, WITHOUT materializing the [n, n] matrix.
+
+    sim[i, l] = fraction of posterior samples assigning cell i together
+    with cell cols[l] — the [:, cols] column block of
+    :func:`coclustering_similarity`, computed directly so the estimator
+    scales past the n where an [n, n] f32 buffer stops fitting HBM
+    (10 GB at n = 50,000).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    a = np.asarray(assignments)
+    cols = np.asarray(cols)
+    steps, n = a.shape
+    ncol = cols.size
+    # Step chunk sized so the [c, n, L] compare stays ~512 MB.
+    c = max(1, int((512 << 20) // max(1, n * ncol)))
+
+    @jax.jit
+    def acc(total, block, block_cols):
+        eq = block[:, :, None] == block_cols[:, None, :]
+        return total + jnp.sum(eq, axis=0, dtype=jnp.float32)
+
+    total = jnp.zeros((n, ncol), dtype=jnp.float32)
+    for s in range(0, steps, c):
+        blk = a[s:s + c]
+        total = acc(total, jnp.asarray(blk), jnp.asarray(blk[:, cols]))
+    return total / steps
+
+
 # ---------------------------------------------------------------------------
 # MPEAR consensus clustering (libs/utils.py:100-143)
 # ---------------------------------------------------------------------------
@@ -178,6 +210,145 @@ def _mpear_scores_batch(sim_dev, labels: np.ndarray) -> np.ndarray:
     return scores
 
 
+def _pair_stats_device(assignments: np.ndarray, labels: np.ndarray):
+    """Device pair-counting statistics for MPEAR scoring: per-candidate
+    quad[j] = sum_s sum_cv (N^(s,j)_cv)^2 and pi_quad = sum_s sum_v n_sv^2,
+    where N^(s,j) is the contingency table between candidate cut j and
+    posterior sample s and n_sv the sampled-cluster sizes.
+
+    All contingency tables of all candidates come out of ONE one-hot
+    matmul per step chunk — a [c, n, k_ids] x [n, n_k*k_hi] einsum.
+    Inputs are bf16 (0/1 exact) accumulated in f32, so every count is an
+    exact integer (counts <= n < 2^24). The squared sums accumulate in
+    f32, bounding the relative error of quad at ~1e-7 — far below the
+    between-candidate score separation the argmax needs. A slow
+    virtualized host takes minutes for the same statistics as numpy
+    bincounts (the temporaries are memory-bandwidth-bound); the MXU does
+    the whole thing in milliseconds.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    a = np.asarray(assignments)
+    steps, n = a.shape
+    labels = np.asarray(labels)
+    n_k = labels.shape[1]
+    k_ids = int(a.max()) + 1
+    k_hi = int(labels.max()) + 1
+
+    # bf16 0/1 inputs are exact and feed the MXU; CPU XLA lacks the
+    # bf16 x bf16 = f32 dot, so fall back to f32 there (still exact).
+    in_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32)
+    memb = jax.jit(
+        lambda l: jax.nn.one_hot(l, k_hi, dtype=in_dtype)
+        .reshape(n, n_k * k_hi)
+    )(jnp.asarray(labels.astype(np.int32)))
+
+    # Step chunk sized so the [c, n, k_ids] one-hot stays ~256 MB.
+    c = max(1, int((256 << 20)
+                   // max(1, np.dtype(in_dtype).itemsize * n * k_ids)))
+
+    @jax.jit
+    def acc(quad, pi_quad, blk, memb):
+        onehot = jax.nn.one_hot(blk, k_ids, dtype=in_dtype)
+        cont = jnp.einsum("snv,nk->skv", onehot, memb,
+                          preferred_element_type=jnp.float32)
+        cont = cont.reshape(blk.shape[0], n_k, k_hi, k_ids)
+        sizes = jnp.sum(onehot, axis=1, dtype=jnp.float32)
+        return (quad + jnp.sum(cont * cont, axis=(0, 2, 3)),
+                pi_quad + jnp.sum(sizes * sizes))
+
+    wire = np.uint8 if k_ids <= 255 else np.int32
+    quad = jnp.zeros((n_k,), jnp.float32)
+    pi_quad = jnp.zeros((), jnp.float32)
+    for s in range(0, steps, c):
+        blk = jnp.asarray(a[s:s + c].astype(wire))
+        quad, pi_quad = acc(quad, pi_quad, blk, memb)
+    return np.asarray(quad, np.float64), float(pi_quad)
+
+
+def _contingency_device(assignments: np.ndarray,
+                        labels: np.ndarray) -> np.ndarray:
+    """Per-step contingency tables N[s, c, v] = |{i : labels[i] = c and
+    assignments[s, i] = v}| as host int64, computed on device.
+
+    Same one-hot-matmul machinery as :func:`_pair_stats_device` but
+    keeping the per-step tables (they are tiny: [steps, n_k, k_ids]); the
+    counts are exact integers (bf16 0/1 inputs, f32 accumulation, n < 2^24).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    a = np.asarray(assignments)
+    steps, n = a.shape
+    labels = np.asarray(labels)
+    k_ids = int(a.max()) + 1
+    n_k = int(labels.max()) + 1
+
+    in_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32)
+    memb = jax.jit(
+        lambda l: jax.nn.one_hot(l, n_k, dtype=in_dtype)
+    )(jnp.asarray(labels.astype(np.int32)))
+
+    c = max(1, int((256 << 20)
+                   // max(1, np.dtype(in_dtype).itemsize * n * k_ids)))
+
+    @jax.jit
+    def tables(blk, memb):
+        onehot = jax.nn.one_hot(blk, k_ids, dtype=in_dtype)
+        return jnp.einsum("snv,nc->scv", onehot, memb,
+                          preferred_element_type=jnp.float32)
+
+    wire = np.uint8 if k_ids <= 255 else np.int32
+    out = np.empty((steps, n_k, k_ids), dtype=np.int64)
+    for s in range(0, steps, c):
+        blk = jnp.asarray(a[s:s + c].astype(wire))
+        out[s:s + c] = np.asarray(tables(blk, memb), dtype=np.int64)
+    return out
+
+
+def _mpear_scores_pairs(assignments: np.ndarray,
+                        labels: np.ndarray) -> np.ndarray:
+    """Exact MPEAR scores via pair-counting contingency statistics —
+    no [n, n] similarity matrix.
+
+    Same math as :func:`_mpear_scores_batch`: with PI the mean posterior
+    co-clustering matrix (unit diagonal) and N^(s,j) the contingency table
+    between candidate cut j and posterior sample s,
+
+        sum_c m_c^T PI m_c = (1/S) sum_s sum_cv (N^(s,j)_cv)^2
+        sum_ij PI_ij       = (1/S) sum_s sum_v n_sv^2
+
+    so index, pi_sum, i_sum reduce to contingency statistics:
+    O(S * n * k) total, O(1) in n^2. This is what lets the posterior
+    estimator run at 50,000 cells, where PI itself would be 10 GB. The
+    heavy reductions run on device (:func:`_pair_stats_device`); the final
+    score arithmetic is f64 on host.
+    """
+    a = np.asarray(assignments)
+    steps, n = a.shape
+    labels = np.asarray(labels)
+    n_k = labels.shape[1]
+    k_hi = int(labels.max()) + 1
+
+    quad, pi_quad = _pair_stats_device(a, labels)
+    pi_sum = (pi_quad / steps - n) / 2.0
+
+    pairs = float(binom(n, 2))
+    scores = np.empty(n_k)
+    for j in range(n_k):
+        index = (quad[j] / steps - n) / 2.0
+        csz = np.bincount(labels[:, j], minlength=k_hi).astype(np.float64)
+        i_sum = ((csz ** 2).sum() - n) / 2.0
+        expected = (i_sum * pi_sum) / pairs
+        max_index = 0.5 * (i_sum + pi_sum)
+        denom = max_index - expected
+        scores[j] = -np.inf if denom == 0 else (index - expected) / denom
+    return scores
+
+
 def _cut_range(assignments: np.ndarray) -> np.ndarray:
     """Candidate cluster-count range for the MPEAR scan
     (libs/utils.py:115-120): [0.2, 2.5] x the average number of
@@ -224,20 +395,23 @@ def mpear_assignment(assignments: np.ndarray,
     (libs/utils.py:100-129).
 
     Scaling: the Ward tree is a CANDIDATE-PARTITION GENERATOR — the final
-    choice among cuts is always the exact device-side MPEAR score over all
-    n cells (_mpear_scores_batch). Up to `max_exact` cells the tree is
-    built from the full co-clustering matrix (the reference's exact
-    procedure). Beyond it, fetching O(n^2) to the host does not scale
-    (400 MB at n = 10,000; minutes-to-hours over a degraded relay link), so
-    the tree is built from a stratified landmark subset (L cells, env
-    BNPC_TPU_MPEAR_LANDMARKS, default 1536): the [L, L] landmark similarity
-    block is fetched, cut into candidate partitions, and each cut is
-    extended to every cell ON DEVICE by assigning it to the cut cluster
-    with the highest mean co-clustering similarity — then all extended cuts
-    are scored exactly as usual. Tree-feeding fetches above a few MB are
-    additionally uint8-quantized (<= 1/510 distance perturbation; the exact
-    scorer never sees quantized values). Override the exact threshold with
-    BNPC_TPU_MPEAR_EXACT_MAX or the `max_exact` argument.
+    choice among cuts is always the exact MPEAR score over all n cells.
+    Up to `max_exact` cells the tree is built from the full co-clustering
+    matrix (the reference's exact procedure) and cuts are scored on device
+    (_mpear_scores_batch). Beyond it, neither the [n, n] matrix on device
+    (10 GB at n = 50,000) nor its host fetch (400 MB at n = 10,000;
+    minutes-to-hours over a degraded relay link) scales, so the path is
+    MATRIX-FREE: the tree is built from a stratified landmark subset
+    (L cells, env BNPC_TPU_MPEAR_LANDMARKS, default 1536) whose [L, L]
+    similarity block is computed directly; each cut is extended to every
+    cell ON DEVICE by assigning it to the cut cluster with the highest
+    mean co-clustering similarity (needs only the [n, L] block); and all
+    extended cuts are scored EXACTLY by pair-counting contingency
+    statistics (_mpear_scores_pairs) — the full similarity matrix is never
+    materialized anywhere. Tree-feeding fetches above a few MB are
+    additionally uint8-quantized (<= 1/510 distance perturbation; the
+    exact scorer never sees quantized values). Override the exact
+    threshold with BNPC_TPU_MPEAR_EXACT_MAX or the `max_exact` argument.
     """
     import os
 
@@ -250,7 +424,6 @@ def mpear_assignment(assignments: np.ndarray,
         max_exact = int(os.environ.get("BNPC_TPU_MPEAR_EXACT_MAX", "4096"))
 
     steps, n = assignments.shape
-    sim_dev = _coclustering_device(assignments)
     n_range = _cut_range(assignments)
 
     def fetch_for_tree(s_dev, quant_above=(16 << 20)):
@@ -263,6 +436,7 @@ def mpear_assignment(assignments: np.ndarray,
 
     n_landmarks = int(os.environ.get("BNPC_TPU_MPEAR_LANDMARKS", "1536"))
     if n <= max_exact or n_landmarks >= n:
+        sim_dev = _coclustering_device(assignments)
         sim = fetch_for_tree(sim_dev)
         dist = squareform(1.0 - sim, checks=False)
         z = linkage(dist, method="ward")
@@ -270,10 +444,10 @@ def mpear_assignment(assignments: np.ndarray,
         scores = _mpear_scores_batch(sim_dev, labels)
         return labels[:, int(np.argmax(scores))]
 
-    # --- landmark path -----------------------------------------------
-    lm = _stratified_landmarks(np.asarray(assignments), n_landmarks)
-    lm_dev = jnp.asarray(lm)
-    sub = jax.jit(lambda s, ix: s[ix][:, ix])(sim_dev, lm_dev)
+    # --- landmark path (matrix-free) ---------------------------------
+    a_host = np.asarray(assignments)
+    lm = _stratified_landmarks(a_host, n_landmarks)
+    sub = _sim_to_cols_device(a_host[:, lm], np.arange(lm.size))
     sim_lm = fetch_for_tree(sub, quant_above=(4 << 20))
     dist = squareform(1.0 - sim_lm, checks=False)
     z = linkage(dist, method="ward")
@@ -281,9 +455,7 @@ def mpear_assignment(assignments: np.ndarray,
     k_hi = int(labels_lm.max()) + 1
 
     @jax.jit
-    def extend(sim, ix, labs):                               # labs [n_k, L]
-        sim_nl = sim[:, ix]                                  # [n, L]
-
+    def extend(sim_nl, ix, labs):        # sim_nl [n, L], labs [n_k, L]
         def one(lab):
             m = jax.nn.one_hot(lab, k_hi, dtype=jnp.float32)  # [L, k_hi]
             tot = jnp.dot(sim_nl, m,
@@ -297,10 +469,11 @@ def mpear_assignment(assignments: np.ndarray,
 
         return jax.vmap(one)(labs)                           # [n_k, n]
 
-    labels_full = np.asarray(
-        extend(sim_dev, lm_dev, jnp.asarray(labels_lm.T))
+    sim_nl = _sim_to_cols_device(a_host, lm)
+    labels_full = to_host(
+        extend(sim_nl, jnp.asarray(lm), jnp.asarray(labels_lm.T))
     ).T                                                      # [n, n_k]
-    scores = _mpear_scores_batch(sim_dev, labels_full)
+    scores = _mpear_scores_pairs(a_host, labels_full)
     return labels_full[:, int(np.argmax(scores))]
 
 
@@ -322,25 +495,33 @@ def consensus_genotypes(assignments: np.ndarray, params_full: np.ndarray,
     cluster and, preferably, (criterion 2) no outside cell shares it; fall
     back to a membership-weighted average over all samples.
 
-    Fully vectorized over the steps axis (the reference loops steps and
-    bincounts per (step, cluster), libs/utils.py:146-192 — O(steps*K*n)
-    host Python): sampled-id presence/count matrices are built once by
-    scatter-adds, the compacted parameter-row rank of id v at step s is a
-    prefix count of present smaller ids, and both criteria reduce to boolean
-    array lookups.
+    Fully vectorized (the reference loops steps and bincounts per
+    (step, cluster), libs/utils.py:146-192 — O(steps*K*n) host Python):
+    one device contingency pass builds N[s, c, v] = |consensus cluster c ∩
+    sampled cluster v at step s| (:func:`_contingency_device`; the host
+    equivalent needs ~300 MB of index temporaries, which a paging-bound
+    virtualized host serves at tens of seconds), from which both §2.3
+    criteria are O(S*K) lookups (criterion 1: max_v N = |c|; criterion 2:
+    that N equals the sampled cluster's total size) and the
+    weighted-average fallback is a [steps, capacity] weight matrix
+    contracted against the parameter trace — no per-cell gathers, so it
+    stays cheap at 50,000 cells.
     """
     steps, n_cells = assignments.shape
     a = np.asarray(assignments)
     if assign is None:
         assign = mpear_assignment(a)
-    clusters = np.unique(assign)
+    clusters, cinv = np.unique(assign, return_inverse=True)
+    n_k = clusters.size
 
     k_ids = int(a.max()) + 1
-    rows = np.arange(steps)[:, None]
-    # present[s, v]: sampled id v occupied at step s; rank[s, v]: its row
-    # index in the compacted parameter trace (= # of smaller present ids).
-    present = np.zeros((steps, k_ids), dtype=bool)
-    present[rows, a] = True
+    srow = np.arange(steps)
+    joint = _contingency_device(a, cinv)                  # N[s, c, v]
+
+    # tot[s, v]: sampled cluster sizes; rank[s, v]: row index of id v in
+    # the compacted parameter trace (= # of smaller occupied ids).
+    tot = joint.sum(axis=1)
+    present = tot > 0
     rank = np.cumsum(present, axis=1) - 1
 
     capacity = params_full.shape[1]
@@ -352,22 +533,16 @@ def consensus_genotypes(assignments: np.ndarray, params_full: np.ndarray,
             "--trace_clusters"
         )
 
-    params = np.zeros((clusters.size, params_full.shape[2]))
-    for ci, cluster in enumerate(clusters):
-        member = assign == cluster
-        sub = a[:, member]                                # [steps, |cells|]
-        same_cluster = (sub == sub[:, :1]).all(axis=1)
-
-        # Majority sampled id of the cells (ties -> lowest id, as the
-        # reference's bincount argmax).
-        counts = np.zeros((steps, k_ids), dtype=np.int32)
-        np.add.at(counts, (np.broadcast_to(rows, sub.shape), sub), 1)
-        cl_ids = counts.argmax(axis=1)
-
-        others_present = np.zeros((steps, k_ids), dtype=bool)
-        others_present[np.broadcast_to(rows, (steps, n_cells - sub.shape[1])),
-                       a[:, ~member]] = True
-        no_others = ~others_present[rows[:, 0], cl_ids]
+    sizes = np.bincount(cinv, minlength=n_k)              # consensus sizes
+    params = np.zeros((n_k, params_full.shape[2]))
+    for ci in range(n_k):
+        nc = joint[:, ci, :]                              # [steps, k_ids]
+        # Majority sampled id of the member cells (ties -> lowest id, as
+        # the reference's bincount argmax).
+        cl_ids = nc.argmax(axis=1)
+        nc_at = nc[srow, cl_ids]
+        same_cluster = nc_at == sizes[ci]                 # criterion 1
+        no_others = nc_at == tot[srow, cl_ids]            # criterion 2
 
         if same_cluster.any():
             use = same_cluster & no_others
@@ -376,18 +551,18 @@ def consensus_genotypes(assignments: np.ndarray, params_full: np.ndarray,
             params[ci] = params_full[step_idx, ranks].mean(axis=0)
         else:
             # Membership-weighted average over ALL samples: each member
-            # cell contributes its sampled cluster's parameter row.
-            ranks_sub = rank[np.broadcast_to(rows, sub.shape), sub]
-            acc = np.zeros(params_full.shape[2])
-            chunk = max(1, 2_000_000 // max(1, sub.shape[1]))
-            for s0 in range(0, steps, chunk):
-                sl = slice(s0, min(s0 + chunk, steps))
-                acc += params_full[
-                    rows[sl], ranks_sub[sl]
-                ].sum(axis=(0, 1))
-            params[ci] = acc / (steps * sub.shape[1])
+            # cell contributes its sampled cluster's parameter row, i.e.
+            # row r of step s carries weight N[s, ci, v(r)].
+            w = np.zeros((steps, capacity))
+            s_p, v_p = np.nonzero(nc)
+            w[s_p, rank[s_p, v_p]] = nc[s_p, v_p]
+            params[ci] = np.einsum("sk,skm->m", w, params_full) \
+                / (steps * sizes[ci])
 
-    geno = pd.DataFrame(params).T[assign]
+    # Positional take, then label the columns: pandas label-based column
+    # selection consolidates the block manager per duplicate label (~20 s
+    # at 50,000 cells — same pathology as the clustermap fix).
+    geno = pd.DataFrame(params.T[:, cinv], columns=assign)
     return assign, geno
 
 
@@ -475,7 +650,10 @@ def _point_chain(result: dict, est: str, data: np.ndarray) -> dict:
             "re-run with a larger --trace_clusters"
         )
     geno_rows = result["params"][step_no_bi][np.arange(cl_names.size)]
-    geno = pd.DataFrame(geno_rows, index=cl_names).T[assignment]
+    # Positional take + column labels (label-based selection consolidates
+    # the block manager per duplicate label — ~20 s at 50,000 cells).
+    pos = np.searchsorted(cl_names, assignment)
+    geno = pd.DataFrame(geno_rows.T[:, pos], columns=assignment)
     fn_geno, fp_geno = _geno_errors(geno, data)
     return {
         "step": step,

@@ -144,3 +144,53 @@ def test_batched_mpear_scores_match_reference_formula():
         est._mpear_score(cond, labels[:, j]) for j in range(labels.shape[1])
     ])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pair_counting_mpear_scores_match_reference_formula():
+    """The matrix-free pair-counting scorer (the 50k-cell path) computes
+    the SAME exact MPEAR scores as the [n, n]-matrix formulations."""
+    rng = np.random.default_rng(11)
+    import jax.numpy as jnp
+    from scipy.spatial.distance import squareform
+
+    n = 40
+    a = rng.integers(0, 5, (30, n))
+    labels = np.stack([
+        rng.integers(0, k, n) for k in (2, 3, 5, 8)
+    ], axis=1)
+    got = est._mpear_scores_pairs(a, labels)
+
+    sim = est.coclustering_similarity(a)
+    cond = squareform(sim, checks=False)
+    want = np.array([
+        est._mpear_score(cond, labels[:, j]) for j in range(labels.shape[1])
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+    batch = est._mpear_scores_batch(jnp.asarray(sim, jnp.float32), labels)
+    np.testing.assert_allclose(got, batch, rtol=1e-5, atol=1e-6)
+
+
+def test_contingency_device_matches_bincount_oracle():
+    """Device contingency tables equal the joint host bincount."""
+    rng = np.random.default_rng(9)
+    steps, n, n_k, k_ids = 17, 61, 4, 7
+    a = rng.integers(0, k_ids, (steps, n))
+    labels = rng.integers(0, n_k, n)
+    got = est._contingency_device(a, labels)
+
+    want = np.zeros((steps, n_k, k_ids), dtype=np.int64)
+    for s in range(steps):
+        for i in range(n):
+            want[s, labels[i], a[s, i]] += 1
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sim_to_cols_matches_full_matrix():
+    """[n, L] column-block similarity equals the [:, cols] slice of the
+    full co-clustering matrix."""
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 6, (25, 50))
+    cols = np.array([0, 7, 13, 49])
+    full = est.coclustering_similarity(a)
+    block = np.asarray(est._sim_to_cols_device(a, cols))
+    np.testing.assert_allclose(block, full[:, cols], rtol=1e-6, atol=1e-6)

@@ -89,7 +89,9 @@ def test_two_process_distributed_run():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            # Generous: two CPU workers compile a sharded MCMC block on a
+            # slow virtualized host, possibly while other jobs run.
+            out, _ = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
