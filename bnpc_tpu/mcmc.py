@@ -80,6 +80,27 @@ def resolve_trace_k(cfg: ModelConfig, mcmc_cfg: MCMCConfig) -> int:
     return min(cfg.k_max, 128)
 
 
+@jax.jit
+def _block_live_k(params):
+    """Max live-cluster count across a block's compacted params trace
+    [C, B, k, m]: dead rows are exactly zero (_compact_params masks them)
+    and live rows are clipped to >= TMIN = 1e-5 > 0, which stays nonzero
+    even in the f16 wire dtype (subnormal ~1.0014e-5)."""
+    return jnp.max(jnp.sum(jnp.any(params != 0, axis=-1), axis=-1))
+
+
+def _pad_k(params: np.ndarray, k: int) -> np.ndarray:
+    """Zero-pad (or slice) a [C, B, k_cur, m] params trace to k slots.
+    Slicing only ever drops slots of EMPTY blocks (0 step rows) — concat
+    sizes k from the widest non-empty block."""
+    cur = params.shape[2]
+    if cur == k:
+        return params
+    if cur > k:
+        return params[:, :, :k]
+    return np.pad(params, [(0, 0), (0, 0), (0, k - cur), (0, 0)])
+
+
 def _compact_params(state: CRPState, trace_k: int) -> jnp.ndarray:
     """Rows of live slots in ascending slot order, zero-padded to trace_k.
 
@@ -383,6 +404,20 @@ class _TraceBuffer:
                 f"block with {bp} params rows does not match either the "
                 f"full ({b}) or the trimmed ({b - lo}) row count"
             )
+        p = rows.params
+        if isinstance(p, jax.Array) and p.shape[1] and p.shape[2] > 8:
+            # Slice the params leaf to the block's live-cluster width
+            # (rounded up to a sublane multiple to bound the number of
+            # distinct slice programs) before it crosses the relay: at
+            # headline scale ~12 of trace_k=128 slots are live, so the
+            # dominant D2H leaf shrinks ~10x. The int() synchronizes on
+            # block completion — a few ms of dispatch bubble per block
+            # against a fetch that otherwise rivals the block's compute
+            # time. concat() re-pads blocks to a common width.
+            w = int(_block_live_k(p))
+            w = min(p.shape[2], max(8, -(-w // 8) * 8))
+            if w < p.shape[2]:
+                rows = rows._replace(params=p[:, :, :w])
         # Start the device->host copies immediately (chunked for large
         # leaves — utils/transfer.py) and materialize with a one-block
         # delay, so the transfer of block i overlaps the sampling of block
@@ -397,6 +432,17 @@ class _TraceBuffer:
 
     def concat(self) -> TraceRow:
         self.rows = [transfer.finish_fetch(r) for r in self.rows]
+        # Blocks may carry different live-width params slices (append);
+        # re-pad to the run's high-water width before concatenating.
+        # Fully-trimmed (pre-burn-in) blocks kept their unsliced width but
+        # have no rows — exclude them so they don't re-inflate the width.
+        ws = [r.params.shape[2] for r in self.rows if r.params.shape[1]]
+        k = max(ws) if ws else self.rows[0].params.shape[2]
+        self.rows = [
+            r if r.params.shape[2] == k
+            else r._replace(params=_pad_k(np.asarray(r.params), k))
+            for r in self.rows
+        ]
         return jax.tree.map(
             lambda *xs: np.concatenate(xs, axis=1), *self.rows
         )
@@ -753,6 +799,22 @@ class MCMCRunner:
     def _collect(self, buf: _TraceBuffer, init_rows: TraceRow, burn_in,
                  psrf=None, cutoff=None) -> list[ChainResult]:
         rows = buf.concat()
+        # Reconcile the initial row's params width with the (live-width
+        # sliced) trace. When the buffer starts at burn_in > 0 the initial
+        # params are never consumed, so aligning down is safe; otherwise
+        # keep every live initial row (random init can have far more live
+        # clusters than any post-mixing block).
+        ip = np.asarray(init_rows.params)
+        w = rows.params.shape[2]
+        if ip.shape[1] != w:
+            if buf.params_from == 0:
+                init_live = int(np.any(ip != 0, axis=-1).sum(axis=-1).max())
+                common = max(w, init_live)
+                rows = rows._replace(params=_pad_k(rows.params, common))
+                w = common
+            ip = (ip[:, :w] if ip.shape[1] >= w
+                  else np.pad(ip, [(0, 0), (0, w - ip.shape[1]), (0, 0)]))
+            init_rows = init_rows._replace(params=ip)
         # Prepend the initial-state row (reference records step 0 at chain
         # construction, libs/MCMC.py:349-358).
         full = jax.tree.map(

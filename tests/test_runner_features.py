@@ -253,7 +253,12 @@ def test_params_trace_trimmed_to_burnin():
 
     assert res_full.params.shape[0] == 33  # initial row + 32 steps
     assert res_trim.params.shape[0] == 33 - 8
-    np.testing.assert_array_equal(res_trim.params, res_full.params[8:])
+    # Widths may differ: each run stores the high-water live-cluster count
+    # over its RETAINED rows (wire live-width slicing; the full run also
+    # retains the initial row, which has more live clusters).
+    w = res_trim.params.shape[1]
+    np.testing.assert_array_equal(res_trim.params, res_full.params[8:, :w])
+    assert not res_full.params[8:, w:].any()
     np.testing.assert_array_equal(res_trim.ML, res_full.ML)  # scalars full
 
 
@@ -271,8 +276,12 @@ def test_params_trim_survives_checkpoint_resume(tmp_path):
     r3 = _make_runner(None, block_size=16)
     full = r3.run((64, 12), seed=9, n_chains=2, verbosity=0)
     for a, b in zip(res, full):
-        assert a.params.shape == b.params.shape == (65 - 12, 20, 16)
-        np.testing.assert_allclose(a.params, b.params)
+        assert a.params.shape[0] == b.params.shape[0] == 65 - 12
+        assert a.params.shape[2] == b.params.shape[2] == 16
+        w = min(a.params.shape[1], b.params.shape[1])
+        np.testing.assert_allclose(a.params[:, :w], b.params[:, :w])
+        assert not a.params[:, w:].any()
+        assert not b.params[:, w:].any()
         np.testing.assert_array_equal(a.assignments, b.assignments)
 
 
