@@ -57,32 +57,16 @@ def hamming_dist(geno_pred, geno_true) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _coclustering_device(assignments: np.ndarray, chunk: int = 64):
-    """Device-array [n, n] mean posterior co-clustering indicator.
-
-    Accumulates ON the device across step chunks — a single [n, n] result
-    crosses the host boundary (the per-chunk transfer of the previous
-    version dominated wall-clock over the tunneled TPU link).
-    """
-    import jax
-    import jax.numpy as jnp
-
+def _coclustering_device(assignments: np.ndarray):
+    """Device-array [n, n] mean posterior co-clustering indicator — the
+    cols = all-cells case of :func:`_sim_to_cols_device`. Accumulates ON
+    the device across step chunks; a single [n, n] result crosses the host
+    boundary."""
     a = np.asarray(assignments)
-    steps, n = a.shape
-
-    @jax.jit
-    def acc(total, block):
-        eq = block[:, :, None] == block[:, None, :]
-        return total + jnp.sum(eq, axis=0, dtype=jnp.float32)
-
-    total = jnp.zeros((n, n), dtype=jnp.float32)
-    for s in range(0, steps, chunk):
-        total = acc(total, jnp.asarray(a[s:s + chunk]))
-    return total / steps
+    return _sim_to_cols_device(a, np.arange(a.shape[1]))
 
 
-def coclustering_similarity(assignments: np.ndarray,
-                            chunk: int = 64) -> np.ndarray:
+def coclustering_similarity(assignments: np.ndarray) -> np.ndarray:
     """[n, n] mean posterior co-clustering indicator.
 
     Device-accelerated equivalent of 1 - get_dist (libs/utils.py:90-97):
@@ -92,8 +76,7 @@ def coclustering_similarity(assignments: np.ndarray,
 
     # Chunked fetch: at n = 5,000 this matrix is 100 MB and a single
     # np.asarray takes minutes over the tunneled device (utils/transfer.py).
-    return to_host(_coclustering_device(assignments, chunk)) \
-        .astype(np.float64)
+    return to_host(_coclustering_device(assignments)).astype(np.float64)
 
 
 def mean_hamming_condensed(assignments: np.ndarray) -> np.ndarray:
@@ -236,46 +219,36 @@ def _pair_stats_device(assignments: np.ndarray, labels: np.ndarray):
     k_ids = int(a.max()) + 1
     k_hi = int(labels.max()) + 1
 
-    # bf16 0/1 inputs are exact and feed the MXU; CPU XLA lacks the
-    # bf16 x bf16 = f32 dot, so fall back to f32 there (still exact).
-    in_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
-                else jnp.float32)
-    memb = jax.jit(
-        lambda l: jax.nn.one_hot(l, k_hi, dtype=in_dtype)
-        .reshape(n, n_k * k_hi)
-    )(jnp.asarray(labels.astype(np.int32)))
-
-    # Step chunk sized so the [c, n, k_ids] one-hot stays ~256 MB.
-    c = max(1, int((256 << 20)
-                   // max(1, np.dtype(in_dtype).itemsize * n * k_ids)))
-
     @jax.jit
-    def acc(quad, pi_quad, blk, memb):
-        onehot = jax.nn.one_hot(blk, k_ids, dtype=in_dtype)
-        cont = jnp.einsum("snv,nk->skv", onehot, memb,
-                          preferred_element_type=jnp.float32)
-        cont = cont.reshape(blk.shape[0], n_k, k_hi, k_ids)
-        sizes = jnp.sum(onehot, axis=1, dtype=jnp.float32)
+    def reduce_chunk(quad, pi_quad, cont):
+        cont = cont.reshape(cont.shape[0], n_k, k_hi, k_ids)
+        # Sampled-cluster sizes: every cell lies in exactly one cluster of
+        # candidate 0, so summing its contingency rows recovers n_sv.
+        sizes = jnp.sum(cont[:, 0], axis=1)
         return (quad + jnp.sum(cont * cont, axis=(0, 2, 3)),
                 pi_quad + jnp.sum(sizes * sizes))
 
-    wire = np.uint8 if k_ids <= 255 else np.int32
     quad = jnp.zeros((n_k,), jnp.float32)
     pi_quad = jnp.zeros((), jnp.float32)
-    for s in range(0, steps, c):
-        blk = jnp.asarray(a[s:s + c].astype(wire))
-        quad, pi_quad = acc(quad, pi_quad, blk, memb)
+    for cont in _contingency_chunks(a, labels, k_hi):
+        quad, pi_quad = reduce_chunk(quad, pi_quad, cont)
     return np.asarray(quad, np.float64), float(pi_quad)
 
 
-def _contingency_device(assignments: np.ndarray,
-                        labels: np.ndarray) -> np.ndarray:
-    """Per-step contingency tables N[s, c, v] = |{i : labels[i] = c and
-    assignments[s, i] = v}| as host int64, computed on device.
+def _contingency_chunks(assignments: np.ndarray, labels: np.ndarray,
+                        k_each: int):
+    """Yield per-step-chunk device contingency tables
+    N[s, j*k_each + c, v] = |{i : labels[i, j] = c and a[s, i] = v}| as
+    [c, J*k_each, k_ids] f32 device arrays — the shared machinery of
+    :func:`_pair_stats_device` and :func:`_contingency_device`.
 
-    Same one-hot-matmul machinery as :func:`_pair_stats_device` but
-    keeping the per-step tables (they are tiny: [steps, n_k, k_ids]); the
-    counts are exact integers (bf16 0/1 inputs, f32 accumulation, n < 2^24).
+    One one-hot matmul per chunk: [c, n, k_ids] x [n, J*k_each]. Inputs
+    are bf16 (0/1 exact) feeding the MXU with f32 accumulation, so every
+    count is an exact integer (counts <= n < 2^24); CPU XLA lacks the
+    bf16 x bf16 = f32 dot, so it falls back to f32 there (still exact).
+    A slow virtualized host takes minutes for the same statistics as
+    numpy bincounts (~300 MB of index temporaries, memory-bandwidth-
+    bound); the MXU does milliseconds of work.
     """
     import jax
     import jax.numpy as jnp
@@ -283,30 +256,48 @@ def _contingency_device(assignments: np.ndarray,
     a = np.asarray(assignments)
     steps, n = a.shape
     labels = np.asarray(labels)
+    if labels.ndim == 1:
+        labels = labels[:, None]
+    n_j = labels.shape[1]
     k_ids = int(a.max()) + 1
-    n_k = int(labels.max()) + 1
 
     in_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                 else jnp.float32)
     memb = jax.jit(
-        lambda l: jax.nn.one_hot(l, n_k, dtype=in_dtype)
+        lambda l: jax.nn.one_hot(l, k_each, dtype=in_dtype)
+        .reshape(n, n_j * k_each)
     )(jnp.asarray(labels.astype(np.int32)))
 
+    # Step chunk sized so the [c, n, k_ids] one-hot stays ~256 MB.
     c = max(1, int((256 << 20)
                    // max(1, np.dtype(in_dtype).itemsize * n * k_ids)))
 
     @jax.jit
     def tables(blk, memb):
         onehot = jax.nn.one_hot(blk, k_ids, dtype=in_dtype)
-        return jnp.einsum("snv,nc->scv", onehot, memb,
+        return jnp.einsum("snv,nk->skv", onehot, memb,
                           preferred_element_type=jnp.float32)
 
     wire = np.uint8 if k_ids <= 255 else np.int32
-    out = np.empty((steps, n_k, k_ids), dtype=np.int64)
     for s in range(0, steps, c):
-        blk = jnp.asarray(a[s:s + c].astype(wire))
-        out[s:s + c] = np.asarray(tables(blk, memb), dtype=np.int64)
-    return out
+        yield tables(jnp.asarray(a[s:s + c].astype(wire)), memb)
+
+
+def _contingency_device(assignments: np.ndarray,
+                        labels: np.ndarray) -> np.ndarray:
+    """Per-step contingency tables N[s, c, v] = |{i : labels[i] = c and
+    assignments[s, i] = v}| as host int64 (tiny: [steps, n_k, k_ids]),
+    computed on device (:func:`_contingency_chunks`) and fetched through
+    the chunked transfer helper (a direct np.asarray of a >8 MB device
+    array takes the relay's pathological big-transfer path)."""
+    import jax.numpy as jnp
+
+    from bnpc_tpu.utils.transfer import to_host
+
+    n_k = int(np.asarray(labels).max()) + 1
+    parts = list(_contingency_chunks(assignments, labels, n_k))
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return np.asarray(to_host(out), dtype=np.int64)
 
 
 def _mpear_scores_pairs(assignments: np.ndarray,

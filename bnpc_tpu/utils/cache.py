@@ -15,10 +15,35 @@ _DEFAULT_DIR = os.path.join(
 )
 
 
+def host_fingerprint() -> str:
+    """CPU-feature fingerprint for scoping the cache directory.
+
+    XLA:CPU AOT executables in the persistent cache are compiled against
+    the host's exact feature set, and jax's cache key does NOT include it:
+    loading an entry produced under different visible flags first warns
+    (cpu_aot_loader "could lead to execution errors such as SIGILL") and
+    then SEGFAULTS in get_executable_and_time — observed here when the
+    virtualized host's flags changed between sessions. Scoping the cache
+    dir by the flags turns a feature change into a cache miss.
+    """
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "nofp"
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     import jax
 
     cache_dir = cache_dir or os.environ.get("BNPC_TPU_CACHE", _DEFAULT_DIR)
+    cache_dir = os.path.join(cache_dir, "hw-" + host_fingerprint())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

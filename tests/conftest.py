@@ -17,7 +17,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 # The suite is dominated by XLA compile time (full MCMC-step programs);
-# persist compiled executables across runs.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persist compiled executables across runs. The helper scopes the cache
+# dir by a host CPU-feature fingerprint — XLA:CPU AOT entries from a host
+# with different visible flags SEGFAULT on load (utils/cache.py).
+from bnpc_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache")))
