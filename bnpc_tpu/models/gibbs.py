@@ -515,7 +515,8 @@ def _pallas_stream_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
 
     n, m, k_max = cfg.n_cells, cfg.n_muts, cfg.k_max
     k_pad = _round_up(k_max, 128)
-    C = min(stream_chunk_rows(k_max), _round_up(n, 8))
+    # C stays a multiple of the kernel's batch size (or B shrinks to C).
+    C = min(stream_chunk_rows(k_max), _round_up(n, 128))
     G = -(-n // C)
     nC = G * C
 

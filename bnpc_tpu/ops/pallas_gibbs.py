@@ -279,9 +279,15 @@ def vmem_budget_bytes(n: int, k_max: int) -> int:
 # is only drawn once a birth happens, libs/CRP.py:291-294):
 #
 #   * this kernel runs the per-cell loop from a dynamic start position and
-#     EXITS at the first cluster birth (lax.while_loop with a scalar+vector
-#     carry), returning the per-position targets, the updated sizes row,
-#     and the (cell, slot) of the pending birth;
+#     EXITS at the first cluster birth, returning the per-position targets,
+#     the updated sizes row, and the (cell, slot) of the pending birth. The
+#     loop is VECTOR-FLOW batched (measured 18% faster than the scalar-
+#     crossing formulation, benchmarks/vecflow_probe.py): the serial chain
+#     is latency-bound on vector->scalar crossings, so reductions stay
+#     [1, 1] vectors, targets accumulate in a [1, 128] register window
+#     flushed once per batch, and the birth exit is one scalar check per
+#     128-cell batch (post-birth cells in the batch run inert and are
+#     recomputed by the relaunch);
 #   * the caller (models/gibbs.py::_pallas_lazy_impl) patches the Z matrix
 #     column and the parameter row for that one birth in XLA — one Beta row
 #     draw + one [n, m] matvec — and relaunches the kernel at the next
@@ -291,6 +297,9 @@ def vmem_budget_bytes(n: int, k_max: int) -> int:
 # The kernel itself needs no newborn inputs at all (no lf2 matrix, no fresh
 # rows, no gum staging, no params DMA), so its VMEM footprint is just the
 # resident Z working matrix.
+
+
+_LANE = 128  # batch size of the vector-flow loop == the VPU lane width
 
 
 def _lazy_segment_kernel(
@@ -305,69 +314,105 @@ def _lazy_segment_kernel(
     i0_ref,         # [1] i32, SMEM — start position in the permutation
     logden_ref,     # [1, 1] f32, SMEM
     # outputs
-    tgt_out_ref,    # [n] i32, SMEM — chosen slot per PERMUTATION POSITION;
-    #                 only positions [i0, i_next) are written
+    tgt_out_ref,    # [nb, 128] i32, VMEM — chosen slot per PERMUTATION
+    #                 POSITION (row-major); only [i0, i_next) is meaningful
     sizes_out_ref,  # [1, k_pad] f32, VMEM
     info_ref,       # [3] i32, SMEM — (i_next, birth_cell, birth_slot);
     #                 birth_cell == -1 when the segment ran to the end
     # scratch
     v_scr,          # [n8, k_pad] f32 — the resident Z working matrix
-    free_scr,       # [1] i32 — first-free slot of the current iteration
     init_sem,
 ):
+    # Vector-flow formulation (benchmarks/vecflow_probe.py): the serial
+    # per-cell chain is latency-bound on vector->scalar crossings, so the
+    # whole carry stays in vector registers — the target pick is two
+    # lane-reductions that STAY [1, 1], targets accumulate in a [1, 128]
+    # register window flushed once per batch, and the birth early-exit is
+    # ONE vector->scalar check per 128 cells (in-batch cells after a birth
+    # run inert via the `act` predicate; the caller relaunches at the birth
+    # position + 1, so their lanes are recomputed then).
     n = assign_ref.shape[0]
     k_pad = v_scr.shape[1]
+    nb = tgt_out_ref.shape[0]
+    nI = jnp.int32(n)
 
     init_dma = pltpu.make_async_copy(z_ref, v_scr, init_sem)
     init_dma.start()
+    # Batches before i0 / after a birth flush zero windows over positions
+    # the caller ignores; the explicit init just keeps the output
+    # deterministic (never uninitialized VMEM).
+    tgt_out_ref[...] = jnp.zeros((nb, _LANE), jnp.int32)
     init_dma.wait()
 
     log_denom = logden_ref[0, 0]
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)[0]
+    i0 = i0_ref[0]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
+    iota_kf = iota_k.astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+    kpadf = jnp.float32(k_pad)
 
-    def cond(carry):
-        i, _, bcell, _ = carry
-        return (i < n) & (bcell < 0)
+    def outer_cond(carry):
+        b, _, bposv, _ = carry
+        return (b < nb) & (bposv[0, 0] >= nI)
 
-    def body(carry):
-        i, sizes_cur, _, _ = carry
-        cell = perm_ref[i]
-        old = assign_ref[cell]
-        sizes = sizes_cur - (iota_k == old).astype(jnp.float32)
+    def outer_body(carry):
+        b, sizes0, bposv0, bslotv0 = carry
+        base = b * _LANE
 
-        v = v_scr[pl.ds(cell, 1), :][0]
-        logits = v + (jnp.log(jnp.maximum(sizes, 0.0)) - log_denom)
-        best_old = jnp.max(logits)
-        idx_old = jnp.argmax(logits).astype(jnp.int32)
+        def body(j, c):
+            sizes, bposv, bslotv, w = c
+            i = base + j
+            # Inert positions still issue their SMEM reads — keep the
+            # indices in bounds (OOB SMEM reads fault nondeterministically).
+            cell = perm_ref[jnp.minimum(i, n - 1)]
+            old = assign_ref[cell]
+            # Active: inside [i0, n) and no birth yet this launch. Computed
+            # against the CARRIED bposv, so the birth iteration itself is
+            # active and everything after it in the batch is inert.
+            act = ((i >= i0) & (i < n)) & (bposv >= nI)  # [1, 1]
 
-        cand = aux_ref[cell] > best_old
-        free_scr[0] = k_pad
+            # Remove the cell from its cluster (libs/CRP.py:262-266).
+            sizes = sizes - ((iota_k == old) & act).astype(jnp.float32)
 
-        @pl.when(cand)
-        def _():
-            # First free slot; NOT jnp.argmax (see eager kernel notes).
-            free_scr[0] = jnp.min(
-                jnp.where(sizes == 0.0, iota_k, k_pad)
-            ).astype(jnp.int32)
+            v = v_scr[pl.ds(cell, 1), :]
+            logits = v + (jnp.log(jnp.maximum(sizes, 0.0)) - log_denom)
+            best = jnp.max(logits, axis=1, keepdims=True)        # [1, 1]
+            cand = (aux_ref[cell] > best) & act                  # [1, 1]
+            # First free slot / first argmax lane via masked index-min (NOT
+            # jnp.argmax: Mosaic's argmax does not return the first tied
+            # lane; logit ties are measure-zero but the scan's tie-breaking
+            # is first-lane, and the free-slot pick NEEDS first-free).
+            free = jnp.min(jnp.where(sizes == 0.0, iota_kf, kpadf),
+                           axis=1, keepdims=True)                # [1, 1]
+            is_new = cand & (free < kpadf)
+            idx = jnp.min(jnp.where(logits == best, iota_kf, kpadf),
+                          axis=1, keepdims=True)                 # [1, 1]
+            tgt = jnp.where(is_new, free, idx).astype(jnp.int32)
+            sizes = sizes + ((iota_k == tgt) & act).astype(jnp.float32)
 
-        free = free_scr[0]
-        is_new = cand & (free < k_pad)
-        target = jnp.where(is_new, free, idx_old)
+            w = jnp.where(lane == j, tgt, w)
+            bposv = jnp.where(is_new, i, bposv)
+            bslotv = jnp.where(is_new, tgt, bslotv)
+            return (sizes, bposv, bslotv, w)
 
-        tgt_out_ref[i] = target
-        sizes = sizes + (iota_k == target).astype(jnp.float32)
-        bcell = jnp.where(is_new, cell, -1)
-        bslot = jnp.where(is_new, free, -1)
-        return (i + 1, sizes, bcell, bslot)
+        w0 = jnp.zeros((1, _LANE), jnp.int32)
+        sizes, bposv, bslotv, w = jax.lax.fori_loop(
+            0, _LANE, body, (sizes0, bposv0, bslotv0, w0))
+        tgt_out_ref[pl.ds(b, 1), :] = w
+        return (b + 1, sizes, bposv, bslotv)
 
-    i, sizes, bcell, bslot = jax.lax.while_loop(
-        cond, body,
-        (i0_ref[0], sizes_in_ref[0, :], jnp.int32(-1), jnp.int32(-1)),
+    b0 = jax.lax.div(i0, _LANE)
+    _, sizes, bposv, bslotv = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (b0, sizes_in_ref[0, :][None, :],
+         jnp.full((1, 1), n, jnp.int32), jnp.full((1, 1), -1, jnp.int32)),
     )
-    sizes_out_ref[0, :] = sizes
-    info_ref[0] = i
-    info_ref[1] = bcell
-    info_ref[2] = bslot
+    sizes_out_ref[...] = sizes
+    bpos = bposv[0, 0]
+    birth = bpos < nI
+    info_ref[0] = jnp.where(birth, bpos + 1, nI)
+    info_ref[1] = jnp.where(birth, perm_ref[jnp.minimum(bpos, n - 1)], -1)
+    info_ref[2] = jnp.where(birth, bslotv[0, 0], -1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -384,11 +429,12 @@ def pallas_lazy_segment(z, aux, assign, perm, sizes, i0, log_denom, *,
     """
     n_pad8, k_pad = z.shape
     n = assign.shape[0]
+    nb = -(-n // _LANE)
 
-    return pl.pallas_call(
+    tgt2, sizes_out, info = pl.pallas_call(
         _lazy_segment_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((nb, _LANE), jnp.int32),
             jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
             jax.ShapeDtypeStruct((3,), jnp.int32),
         ),
@@ -402,13 +448,12 @@ def pallas_lazy_segment(z, aux, assign, perm, sizes, i0, log_denom, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # log_denom
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((n_pad8, k_pad), jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -421,6 +466,7 @@ def pallas_lazy_segment(z, aux, assign, perm, sizes, i0, log_denom, *,
         jnp.asarray(i0, jnp.int32)[None],
         jnp.asarray(log_denom, jnp.float32)[None, None],
     )
+    return tgt2.reshape(-1)[:n], sizes_out, info
 
 
 def lazy_vmem_budget_bytes(n: int, k_max: int) -> int:
@@ -460,77 +506,95 @@ def _lazy_stream_kernel(
     i0_ref,         # [1] i32, SMEM — start position
     logden_ref,     # [1, 1] f32, SMEM
     # outputs
-    tgt_out_ref,    # [n] i32, SMEM — chosen slot per position
+    tgt_out_ref,    # [nb, B] i32, VMEM — chosen slot per position
+    #                 (row-major); only [i0, i_next) is meaningful
     sizes_out_ref,  # [1, k_pad] f32, VMEM
     info_ref,       # [3] i32, SMEM — (i_next, birth_pos, birth_slot)
     # scratch
     buf,            # [C, k_pad] f32, VMEM — chunk staging buffer
-    free_scr,       # [1] i32, SMEM
     sem,
 ):
+    # Same vector-flow batched loop as _lazy_segment_kernel (see its
+    # notes), with one structural change: instead of nesting a batch loop
+    # inside a chunk loop (three loop levels — a Mosaic ICE risk), there is
+    # ONE while over batches and the chunk DMA fires under pl.when whenever
+    # the batch enters a new chunk. B divides C (asserted by the wrapper),
+    # so a batch never straddles a chunk boundary.
     n = auxp_ref.shape[0]
     C, k_pad = buf.shape
+    nb, B = tgt_out_ref.shape
+    nI = jnp.int32(n)
+
+    tgt_out_ref[...] = jnp.zeros((nb, B), jnp.int32)
 
     log_denom = logden_ref[0, 0]
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)[0]
+    i0 = i0_ref[0]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
+    iota_kf = iota_k.astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    kpadf = jnp.float32(k_pad)
 
     def outer_cond(carry):
-        p, _, bpos, _ = carry
-        return (p < n) & (bpos < 0)
+        b, _, _, bposv, _ = carry
+        return (b < nb) & (bposv[0, 0] >= nI)
 
     def outer_body(carry):
-        p, sizes0, bpos0, bslot0 = carry
-        g = jax.lax.div(p, C)
-        dma = pltpu.make_async_copy(zp3_ref.at[g], buf, sem)
-        dma.start()
-        dma.wait()
-        end_g = jnp.minimum((g + 1) * C, n)
-        base = g * C
+        b, g_cur, sizes0, bposv0, bslotv0 = carry
+        base = b * B
+        g = jax.lax.div(base, C)
 
-        def cond(carry):
-            pp, _, bpos, _ = carry
-            return (pp < end_g) & (bpos < 0)
+        @pl.when(g != g_cur)
+        def _():
+            dma = pltpu.make_async_copy(zp3_ref.at[g], buf, sem)
+            dma.start()
+            dma.wait()
 
-        def body(carry):
-            pp, sizes_cur, _, _ = carry
-            old = assignp_ref[pp]
-            sizes = sizes_cur - (iota_k == old).astype(jnp.float32)
+        boff = base - g * C  # the batch's row offset inside the chunk
 
-            v = buf[pl.ds(pp - base, 1), :][0]
+        def body(j, c):
+            sizes, bposv, bslotv, w = c
+            pp = base + j
+            ppc = jnp.minimum(pp, n - 1)  # clamp inert tail reads
+            old = assignp_ref[ppc]
+            act = ((pp >= i0) & (pp < nI)) & (bposv >= nI)  # [1, 1]
+
+            sizes = sizes - ((iota_k == old) & act).astype(jnp.float32)
+
+            v = buf[pl.ds(boff + j, 1), :]
             logits = v + (jnp.log(jnp.maximum(sizes, 0.0)) - log_denom)
-            best_old = jnp.max(logits)
-            idx_old = jnp.argmax(logits).astype(jnp.int32)
+            best = jnp.max(logits, axis=1, keepdims=True)        # [1, 1]
+            cand = (auxp_ref[ppc] > best) & act                  # [1, 1]
+            free = jnp.min(jnp.where(sizes == 0.0, iota_kf, kpadf),
+                           axis=1, keepdims=True)                # [1, 1]
+            is_new = cand & (free < kpadf)
+            idx = jnp.min(jnp.where(logits == best, iota_kf, kpadf),
+                          axis=1, keepdims=True)                 # [1, 1]
+            tgt = jnp.where(is_new, free, idx).astype(jnp.int32)
+            sizes = sizes + ((iota_k == tgt) & act).astype(jnp.float32)
 
-            cand = auxp_ref[pp] > best_old
-            free_scr[0] = k_pad
+            w = jnp.where(lane == j, tgt, w)
+            bposv = jnp.where(is_new, pp, bposv)
+            bslotv = jnp.where(is_new, tgt, bslotv)
+            return (sizes, bposv, bslotv, w)
 
-            @pl.when(cand)
-            def _():
-                # First free slot; NOT jnp.argmax (see eager kernel notes).
-                free_scr[0] = jnp.min(
-                    jnp.where(sizes == 0.0, iota_k, k_pad)
-                ).astype(jnp.int32)
+        w0 = jnp.zeros((1, B), jnp.int32)
+        sizes, bposv, bslotv, w = jax.lax.fori_loop(
+            0, B, body, (sizes0, bposv0, bslotv0, w0))
+        tgt_out_ref[pl.ds(b, 1), :] = w
+        return (b + 1, g, sizes, bposv, bslotv)
 
-            free = free_scr[0]
-            is_new = cand & (free < k_pad)
-            target = jnp.where(is_new, free, idx_old)
-
-            tgt_out_ref[pp] = target
-            sizes = sizes + (iota_k == target).astype(jnp.float32)
-            bpos = jnp.where(is_new, pp, -1)
-            bslot = jnp.where(is_new, free, -1)
-            return (pp + 1, sizes, bpos, bslot)
-
-        return jax.lax.while_loop(cond, body, (p, sizes0, bpos0, bslot0))
-
-    i, sizes, bpos, bslot = jax.lax.while_loop(
+    b0 = jax.lax.div(i0, B)
+    _, _, sizes, bposv, bslotv = jax.lax.while_loop(
         outer_cond, outer_body,
-        (i0_ref[0], sizes_in_ref[0, :], jnp.int32(-1), jnp.int32(-1)),
+        (b0, jnp.int32(-1), sizes_in_ref[0, :][None, :],
+         jnp.full((1, 1), n, jnp.int32), jnp.full((1, 1), -1, jnp.int32)),
     )
-    sizes_out_ref[0, :] = sizes
-    info_ref[0] = i
-    info_ref[1] = bpos
-    info_ref[2] = bslot
+    sizes_out_ref[...] = sizes
+    bpos = bposv[0, 0]
+    birth = bpos < nI
+    info_ref[0] = jnp.where(birth, bpos + 1, nI)
+    info_ref[1] = jnp.where(birth, bpos, -1)
+    info_ref[2] = jnp.where(birth, bslotv[0, 0], -1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -548,11 +612,14 @@ def pallas_lazy_segment_stream(zp3, auxp, assignp, sizes, i0, log_denom, *,
     """
     _, C, k_pad = zp3.shape
     n = auxp.shape[0]
+    B = min(_LANE, C)
+    assert C % B == 0, (C, B)
+    nb = -(-n // B)
 
-    return pl.pallas_call(
+    tgt2, sizes_out, info = pl.pallas_call(
         _lazy_stream_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((nb, B), jnp.int32),
             jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
             jax.ShapeDtypeStruct((3,), jnp.int32),
         ),
@@ -565,13 +632,12 @@ def pallas_lazy_segment_stream(zp3, auxp, assignp, sizes, i0, log_denom, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # log_denom
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM(zp3.shape[1:], jnp.float32),
-            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -583,9 +649,11 @@ def pallas_lazy_segment_stream(zp3, auxp, assignp, sizes, i0, log_denom, *,
         jnp.asarray(i0, jnp.int32)[None],
         jnp.asarray(log_denom, jnp.float32)[None, None],
     )
+    return tgt2.reshape(-1)[:n], sizes_out, info
 
 
 def stream_chunk_rows(k_max: int, budget_bytes: int = 8 * 1024 * 1024) -> int:
-    """Chunk row count for the streaming kernel: fill ~half of VMEM."""
+    """Chunk row count for the streaming kernel: fill ~half of VMEM. A
+    multiple of the 128-cell batch size so batches never straddle chunks."""
     k_pad = _round_up(k_max, 128)
-    return max(8, _round_up(budget_bytes // (4 * k_pad), 8))
+    return max(_LANE, _round_up(budget_bytes // (4 * k_pad), _LANE))

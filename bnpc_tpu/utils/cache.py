@@ -25,15 +25,27 @@ def host_fingerprint() -> str:
     then SEGFAULTS in get_executable_and_time — observed here when the
     virtualized host's flags changed between sessions. Scoping the cache
     dir by the flags turns a feature change into a cache miss.
+
+    The fingerprint hashes the model identity lines as well as the flags:
+    LLVM tuning features (e.g. +prefer-no-gather, seen mismatching r3) are
+    derived from the CPU MODEL, so hosts with identical flag sets but
+    different models still produce incompatible AOT code.
     """
+    keys = ("vendor_id", "cpu family", "model", "model name", "stepping",
+            "flags")
+    parts = []
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
-                if line.startswith("flags"):
-                    import hashlib
+                k = line.split(":", 1)[0].strip()
+                if k in keys:
+                    parts.append(line.strip())
+                if k == "flags":
+                    break  # first core is enough
+        if parts:
+            import hashlib
 
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+            return hashlib.sha1("\n".join(parts).encode()).hexdigest()[:10]
     except OSError:
         pass
     return "nofp"

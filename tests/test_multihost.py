@@ -91,7 +91,7 @@ def test_two_process_distributed_run():
         try:
             # Generous: two CPU workers compile a sharded MCMC block on a
             # slow virtualized host, possibly while other jobs run.
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

@@ -227,6 +227,34 @@ def test_stream_chunked_matches_scan(monkeypatch):
     assert births >= 1, "no birth events exercised — change the seeds"
 
 
+def test_multibatch_matches_scan():
+    """n > 128 forces multiple vector-flow batches per segment launch:
+    window flushes at batch boundaries, births landing mid-batch (inert
+    tail + relaunch at bpos+1, i.e. i0 inside a batch), and the tail batch
+    with clamped inert reads. Both lazy kernels must stay bit-identical to
+    the scan."""
+    data, _ = make_problem(n=200, m=10, k_clones=3, seed=9)
+    cfg = ModelConfig(n_cells=200, n_muts=10, k_max=64, p=0.25, q=0.25,
+                      fp=0.01, fn=0.1)
+    packed = pack_data(data)
+
+    births = 0
+    for seed in range(3):
+        state = init_state(jax.random.key(seed), cfg, packed, mode="random")
+        key = jax.random.key(700 + seed)
+        a = gibbs_sweep(key, state, packed, cfg, impl="scan_cond")
+        for impl in ("pallas", "pallas_stream"):
+            b = gibbs_sweep(key, state, packed, cfg, impl=impl,
+                            interpret=True)
+            np.testing.assert_array_equal(np.asarray(a.assignment),
+                                          np.asarray(b.assignment))
+            np.testing.assert_array_equal(np.asarray(a.cluster_size),
+                                          np.asarray(b.cluster_size))
+        was_free = np.asarray(state.cluster_size) == 0
+        births += int((was_free & (np.asarray(a.cluster_size) > 0)).sum())
+    assert births >= 1, "no birth events exercised — change the seeds"
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_dense_matches_cond(seed):
     """The branch-free dense sweep equals the cond-patching sweep."""
