@@ -106,12 +106,12 @@ def _is_batched(x) -> bool:
 
 
 # Above this cell count the sweep kernels' [n]-sized SMEM arrays stop
-# fitting scalar memory. The streaming kernel keeps three (aux/assign/
-# targets, all in visit order): measured on v5e, 65,536 cells (~786 KB)
-# compiles and runs, 98,304 does not (benchmarks/smem_probe.py). The
-# resident kernel keeps four, but its VMEM budget caps it at ~26k cells
-# long before SMEM matters.
-SMEM_CELL_CAP = 65536
+# fitting scalar memory. The vector-flow streaming kernel keeps two
+# (aux/assign in visit order; targets ride a VMEM window since round 3):
+# measured on v5e, 98,304 cells (~786 KB) compiles and runs, 131,072 does
+# not (benchmarks/smem_probe.py). The resident kernel keeps three, but its
+# VMEM budget caps it at ~26k cells long before SMEM matters.
+SMEM_CELL_CAP = 98304
 
 
 def resolve_stream(cfg: ModelConfig) -> bool:
