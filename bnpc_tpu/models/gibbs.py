@@ -455,19 +455,26 @@ def _pallas_lazy_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
         jnp.full((k_pad - k_max,), -1.0, jnp.float32),
     ])[None, :]
     pos = jnp.arange(n, dtype=jnp.int32)
+    # Each cell is visited exactly once, so the kernel only ever reads the
+    # PRE-SWEEP assignment of not-yet-visited cells — pass it statically and
+    # accumulate chosen targets in VISIT order instead of gather/scattering
+    # the cell-order assignment through perm on every launch (a [n] gather
+    # costs ~8 ns/elem on the TPU scalar unit; one sort at the end is ~5x
+    # cheaper than the gather+scatter pair it replaces).
+    assign0 = state.assignment.astype(jnp.int32)
 
     def cond(carry):
         return carry[0] < n
 
     def body(carry):
-        i0, z, assign, sizes, params = carry
+        i0, z, tgt_v, sizes, params = carry
         tgt, sizes, info = pallas_lazy_segment(
-            z, aux, assign, perm, sizes, i0, log_denom,
+            z, aux, assign0, perm, sizes, i0, log_denom,
             interpret=interpret,
         )
         i_next, bcell, bslot = info[0], info[1], info[2]
         done = (pos >= i0) & (pos < i_next)
-        assign = assign.at[perm].set(jnp.where(done, tgt, assign[perm]))
+        tgt_v = jnp.where(done, tgt, tgt_v)
 
         def patch(z, params):
             theta = fresh_row(k_beta, bcell, data, cfg)
@@ -483,11 +490,14 @@ def _pallas_lazy_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
         z, params = jax.lax.cond(
             bcell >= 0, patch, lambda z_, p_: (z_, p_), z, params
         )
-        return (i_next, z, assign, sizes, params)
+        return (i_next, z, tgt_v, sizes, params)
 
-    init = (jnp.int32(0), z0, state.assignment.astype(jnp.int32),
-            sizes0, state.params)
-    _, _, assignment, sizes, params = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(0), z0, jnp.zeros((n,), jnp.int32), sizes0,
+            state.params)
+    _, _, tgt_v, sizes, params = jax.lax.while_loop(cond, body, init)
+    # Scatter targets back to cell order: sorting (perm, tgt_v) by the
+    # permutation keys IS the scatter assignment[perm[t]] = tgt_v[t].
+    _, assignment = jax.lax.sort((perm.astype(jnp.int32), tgt_v), num_keys=1)
     return state._replace(
         assignment=assignment,
         cluster_size=sizes[0, :k_max].astype(jnp.int32),
@@ -542,13 +552,15 @@ def _pallas_stream_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
         return carry[0] < n
 
     def body(carry):
-        i0, zp3, assign, sizes, params = carry
+        i0, zp3, tgt_v, sizes, params = carry
         tgt, sizes, info = pallas_lazy_segment_stream(
             zp3, auxp, assignp, sizes, i0, log_denom, interpret=interpret,
         )
         i_next, bpos, bslot = info[0], info[1], info[2]
         done = (pos >= i0) & (pos < i_next)
-        assign = assign.at[perm].set(jnp.where(done, tgt, assign[perm]))
+        # Targets accumulate in VISIT order; one sort-scatter at the end
+        # (see _pallas_lazy_impl — same rationale).
+        tgt_v = jnp.where(done, tgt, tgt_v)
 
         def patch(zp3, params):
             bcell = permC[jnp.maximum(bpos, 0)]
@@ -565,11 +577,12 @@ def _pallas_stream_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
         zp3, params = jax.lax.cond(
             bpos >= 0, patch, lambda z_, p_: (z_, p_), zp3, params
         )
-        return (i_next, zp3, assign, sizes, params)
+        return (i_next, zp3, tgt_v, sizes, params)
 
-    init = (jnp.int32(0), zp3, state.assignment.astype(jnp.int32),
-            sizes0, state.params)
-    _, _, assignment, sizes, params = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(0), zp3, jnp.zeros((n,), jnp.int32), sizes0,
+            state.params)
+    _, _, tgt_v, sizes, params = jax.lax.while_loop(cond, body, init)
+    _, assignment = jax.lax.sort((perm.astype(jnp.int32), tgt_v), num_keys=1)
     return state._replace(
         assignment=assignment,
         cluster_size=sizes[0, :k_max].astype(jnp.int32),

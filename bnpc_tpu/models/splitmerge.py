@@ -199,7 +199,37 @@ def _rg_init(key, ctx: _MoveCtx, state: CRPState, data: PackedData,
     return _RGState(rg, params_split, params_merge)
 
 
-def _trans_prob_replay(ctx: _MoveCtx, order, rg_launch, rg_final, ll2,
+def _visit_order(k_perm, s_mask, rg_launch, ll2, random_order=True):
+    """Visit order for a restricted scan, plus co-sorted visit-order payloads.
+
+    The order is a uniform random permutation with the move's cells FIRST
+    (their relative order is uniform over S — exactly the reference's
+    distribution, libs/CRP.py:616), built as ONE variadic `lax.sort` keyed by
+    (not-in-S, 64 random bits): a [n] gather on TPU runs element-at-a-time on
+    the scalar unit (~8 ns/elem measured) while the sort is ~1.5 ns/elem, and
+    the payload operands give the replay its visit-order launch sides and
+    log-lik columns for free. Because S-cells sort first, "movable" in visit
+    order is simply `position < s_count` — no mask gather anywhere.
+
+    Returns (order, lau_v, ll0_v, ll1_v).
+    """
+    n = s_mask.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    s_not = (~s_mask).astype(jnp.uint32)
+    if random_order:
+        bits = jax.random.bits(k_perm, (2, n), dtype=jnp.uint32)
+        k1, k2 = bits[0], bits[1]
+    else:
+        k1 = iota.astype(jnp.uint32)
+        k2 = jnp.zeros((n,), jnp.uint32)
+    _, _, _, order, lau_v, ll0_v, ll1_v = jax.lax.sort(
+        (s_not, k1, k2, iota, rg_launch.astype(jnp.float32),
+         ll2[:, 0], ll2[:, 1]),
+        num_keys=3, is_stable=True)
+    return order, lau_v, ll0_v, ll1_v
+
+
+def _trans_prob_replay(ctx: _MoveCtx, lau_v, fin_v, ll0_v, ll1_v, s_count,
                        dp_alpha):
     """Chosen-log-probability sum of a completed restricted scan, vectorized.
 
@@ -209,22 +239,25 @@ def _trans_prob_replay(ctx: _MoveCtx, order, rg_launch, rg_final, ll2,
     (# later-visited s-cells, still at their LAUNCH side 1). So the
     sequential accumulation of libs/CRP.py:622-630 collapses to prefix/suffix
     sums in visit order — the same trick as the merge reverse path below.
+
+    All inputs are already in visit order (from _visit_order's payloads plus
+    one gather for the final sides); movable == position < s_count.
     """
-    in_s = ctx.s_mask[order].astype(jnp.float32)              # visit order
-    fin = rg_final[order].astype(jnp.float32) * in_s
-    lau = rg_launch[order].astype(jnp.float32) * in_s
+    n = lau_v.shape[0]
+    in_s = (jnp.arange(n) < s_count).astype(jnp.float32)       # visit order
+    fin = fin_v.astype(jnp.float32) * in_s
+    lau = lau_v * in_s
     prefix_fin = jnp.cumsum(fin) - fin
     suffix_lau = jnp.cumsum(lau[::-1])[::-1] - lau
     s1 = prefix_fin + suffix_lau
     n_j = s1 + 1.0
     n_i = ctx.n_move - s1 - 2.0
     log_denom = jnp.log(ctx.n_move - 1.0 + dp_alpha)
-    logpost = ll2[order] + jnp.log(jnp.stack([n_i, n_j], axis=1)) - log_denom
-    logp = logpost - jax.scipy.special.logsumexp(logpost, axis=1,
-                                                 keepdims=True)
-    chosen = jnp.take_along_axis(
-        logp, rg_final[order][:, None], axis=1
-    )[:, 0]
+    lp0 = ll0_v + jnp.log(n_i) - log_denom
+    lp1 = ll1_v + jnp.log(n_j) - log_denom
+    mx = jnp.maximum(lp0, lp1)
+    lse = mx + jnp.log(jnp.exp(lp0 - mx) + jnp.exp(lp1 - mx))
+    chosen = jnp.where(fin_v > 0, lp1, lp0) - lse
     # where, not multiply: non-movable positions can hold nan/-inf rows.
     return jnp.sum(jnp.where(in_s > 0.0, chosen, 0.0))
 
@@ -256,14 +289,6 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
     """
     n = cfg.n_cells
     k_perm, k_gumbel = jax.random.split(key)
-    if random_order:
-        base = jax.random.permutation(k_perm, n)
-    else:
-        base = jnp.arange(n)
-    # Visit the move's cells FIRST (their relative order is still a uniform
-    # random permutation of S — exactly the reference's distribution,
-    # libs/CRP.py:616): the effective trip count is |S|, not n.
-    order = base[jnp.argsort(~ctx.s_mask[base], stable=True)]
 
     # All randomness hoisted: per-cell Gumbel noise replaces the in-scan
     # categorical draw (identical distribution, zero threefry in the body).
@@ -273,6 +298,11 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
     # matmul (reference precomputes it too, libs/CRP.py:610).
     c1, c0 = lk.log_prob_tables(params_split, state.fp, state.fn)  # [2, m]
     ll2 = ax.psum(data.xm @ c1.T + data.xm0 @ c0.T)  # [n, 2]
+
+    # Visit the move's cells FIRST: the effective trip count is |S|, not n,
+    # and the replay's visit-order inputs come out of the same sort.
+    order, lau_v, ll0_v, ll1_v = _visit_order(
+        k_perm, ctx.s_mask, rg, ll2, random_order)
 
     z = ll2 + gumbel
     dz = z[:, 1] - z[:, 0]
@@ -297,7 +327,10 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
             jnp.full((n_chunks * chunk - n,), ctx.anchor_i,
                      dtype=order.dtype),
         ]).reshape(n_chunks, chunk)
-        chunk_has = jax.vmap(lambda oc: jnp.any(ctx.s_mask[oc]))(order_c)
+        # Movable positions are exactly the first s_count (S-cells sort
+        # first in _visit_order), so a chunk has work iff it starts before
+        # s_count — no mask gather.
+        chunk_has = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk) < s_count
 
         def body(carry, cell):
             rg, count1 = carry
@@ -327,7 +360,8 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
         )
 
     if trans_prob:
-        acc = _trans_prob_replay(ctx, order, rg, rg_new, ll2, state.dp_alpha)
+        acc = _trans_prob_replay(ctx, lau_v, rg_new[order], ll0_v, ll1_v,
+                                 s_count, state.dp_alpha)
         return rg_new, acc
     return rg_new, jnp.float32(0.0)
 
