@@ -131,14 +131,15 @@ def test_trans_prob_replay_matches_sequential(seed):
         key, ctx, rg_launch, params_split, state, packed, cfg,
         trans_prob=True)
 
-    # Recompute the hoisted quantities exactly as _rg_scan_assign does.
+    # Recompute the hoisted quantities exactly as _rg_scan_assign does:
+    # the visit order comes from the code under test's own _visit_order
+    # (one variadic lax.sort keyed by (not-in-S, random bits)).
     k_perm, k_gumbel = jax.random.split(key)
-    base = jax.random.permutation(k_perm, n)
-    order = base[jnp.argsort(~ctx.s_mask[base], stable=True)]
     gumbel = jax.random.gumbel(k_gumbel, (n, 2))
     from bnpc_tpu.ops import likelihood as lk
     c1, c0 = lk.log_prob_tables(params_split, state.fp, state.fn)
     ll2 = packed.xm @ c1.T + packed.xm0 @ c0.T
+    order, _, _, _ = sm._visit_order(k_perm, ctx.s_mask, rg_launch, ll2)
     z = ll2 + gumbel
     dz = z[:, 1] - z[:, 0]
 
