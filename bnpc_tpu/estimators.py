@@ -343,12 +343,34 @@ def _mpear_scores_pairs(assignments: np.ndarray,
 def _cut_range(assignments: np.ndarray) -> np.ndarray:
     """Candidate cluster-count range for the MPEAR scan
     (libs/utils.py:115-120): [0.2, 2.5] x the average number of
-    non-trivial (size > 2) clusters per posterior sample."""
-    cl_no = []
-    for row in assignments:
-        _, counts = np.unique(row, return_counts=True)
-        cl_no.append(int((counts > 2).sum()))
-    avg = float(np.mean(cl_no))
+    non-trivial (size > 2) clusters per posterior sample.
+
+    The per-sample counting is ONE device pass — sort each sample's
+    assignment row, then count runs of length >= 3 (a run of value v has a
+    third element iff xs[i] == xs[i+2] at its start) — replacing a host
+    loop of np.unique per sample that cost O(seconds) at 50,000 cells x
+    500 samples on the virtualized host. Only the scalar average comes
+    back from the device."""
+    import jax
+    import jax.numpy as jnp
+
+    if assignments.shape[1] < 3:  # no cluster can exceed size 2
+        return np.array([2])
+    a = np.ascontiguousarray(assignments)
+    if a.max(initial=0) < 32768:  # smaller H2D wire
+        a = a.astype(np.int16)
+
+    @jax.jit
+    def avg_nontrivial(x):
+        s = x.shape[0]
+        xs = jnp.sort(x, axis=1)
+        start = jnp.concatenate(
+            [jnp.ones((s, 1), bool), xs[:, 1:] != xs[:, :-1]], axis=1)
+        has3 = jnp.concatenate(
+            [xs[:, 2:] == xs[:, :-2], jnp.zeros((s, 2), bool)], axis=1)
+        return jnp.mean(jnp.sum(start & has3, axis=1).astype(jnp.float32))
+
+    avg = float(avg_nontrivial(jnp.asarray(a)))
     lo = max(2, int(avg * 0.2))
     hi = int(min(avg * 2.5, assignments.shape[1]))
     n_range = np.arange(lo, hi, dtype=int)
