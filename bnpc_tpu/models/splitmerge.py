@@ -199,7 +199,7 @@ def _rg_init(key, ctx: _MoveCtx, state: CRPState, data: PackedData,
     return _RGState(rg, params_split, params_merge)
 
 
-def _visit_order(k_perm, s_mask, rg_launch, ll2, random_order=True):
+def _visit_order(k_perm, s_mask, rg_launch, ll2, dz, random_order=True):
     """Visit order for a restricted scan, plus co-sorted visit-order payloads.
 
     The order is a uniform random permutation with the move's cells FIRST
@@ -208,10 +208,11 @@ def _visit_order(k_perm, s_mask, rg_launch, ll2, random_order=True):
     (not-in-S, 64 random bits): a [n] gather on TPU runs element-at-a-time on
     the scalar unit (~8 ns/elem measured) while the sort is ~1.5 ns/elem, and
     the payload operands give the replay its visit-order launch sides and
-    log-lik columns for free. Because S-cells sort first, "movable" in visit
-    order is simply `position < s_count` — no mask gather anywhere.
+    log-lik columns — and the rg kernel its sequential dz/launch streams —
+    for free. Because S-cells sort first, "movable" in visit order is simply
+    `position < s_count` — no mask gather anywhere.
 
-    Returns (order, lau_v, ll0_v, ll1_v).
+    Returns (order, lau_v, ll0_v, ll1_v, dz_v).
     """
     n = s_mask.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -222,11 +223,11 @@ def _visit_order(k_perm, s_mask, rg_launch, ll2, random_order=True):
     else:
         k1 = iota.astype(jnp.uint32)
         k2 = jnp.zeros((n,), jnp.uint32)
-    _, _, _, order, lau_v, ll0_v, ll1_v = jax.lax.sort(
+    _, _, _, order, lau_v, ll0_v, ll1_v, dz_v = jax.lax.sort(
         (s_not, k1, k2, iota, rg_launch.astype(jnp.float32),
-         ll2[:, 0], ll2[:, 1]),
+         ll2[:, 0], ll2[:, 1], dz),
         num_keys=3, is_stable=True)
-    return order, lau_v, ll0_v, ll1_v
+    return order, lau_v, ll0_v, ll1_v, dz_v
 
 
 def _trans_prob_replay(ctx: _MoveCtx, lau_v, fin_v, ll0_v, ll1_v, s_count,
@@ -299,24 +300,36 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
     c1, c0 = lk.log_prob_tables(params_split, state.fp, state.fn)  # [2, m]
     ll2 = ax.psum(data.xm @ c1.T + data.xm0 @ c0.T)  # [n, 2]
 
-    # Visit the move's cells FIRST: the effective trip count is |S|, not n,
-    # and the replay's visit-order inputs come out of the same sort.
-    order, lau_v, ll0_v, ll1_v = _visit_order(
-        k_perm, ctx.s_mask, rg, ll2, random_order)
-
     z = ll2 + gumbel
     dz = z[:, 1] - z[:, 0]
-    logtab = jnp.log(jnp.arange(n + 2, dtype=jnp.float32))
+
+    # Visit the move's cells FIRST: the effective trip count is |S|, not n,
+    # and the replay's and kernel's visit-order inputs come out of the same
+    # sort.
+    order, lau_v, ll0_v, ll1_v, dz_v = _visit_order(
+        k_perm, ctx.s_mask, rg, ll2, dz, random_order)
+
+    # Fused count log-table: dtab[s1] = log(n_j) - log(n_i) with n_j = s1+1
+    # and n_i = n_move-s1-2 (+inf where side i would empty, forcing side 1 —
+    # matching the reference's lp0 = ll0 + log(0) = -inf, libs/CRP.py:622).
+    s1r = jnp.arange(n + 2, dtype=jnp.float32)
+    dtab = jnp.log(s1r + 1.0) \
+        - jnp.log(jnp.maximum(ctx.n_move - s1r - 2.0, 0.0))
     s_count = jnp.sum(ctx.s_mask).astype(jnp.int32)
     count1_init = jnp.sum(jnp.where(ctx.s_mask, rg, 0)).astype(jnp.int32)
-    n_move_i = ctx.n_move.astype(jnp.int32)
+    pos = jnp.arange(n, dtype=jnp.int32)
 
     if impl == "pallas":
         from bnpc_tpu.ops.pallas_rg import rg_scan
 
-        visited = rg_scan(dz, order, rg, logtab, s_count, count1_init,
-                          n_move_i)
-        rg_new = jnp.where(ctx.s_mask, visited, rg)
+        out_v = rg_scan(dz_v, lau_v.astype(jnp.int32), dtab, s_count,
+                        count1_init)
+        fin_v = jnp.where(pos < s_count, out_v, lau_v.astype(jnp.int32))
+        # Scatter back to cell order: sorting (order, fin_v) by the
+        # visit-order keys IS the scatter rg[order[t]] = fin_v[t] (one sort
+        # beats a [n] scatter ~5x on the TPU scalar unit).
+        _, fin_cell = jax.lax.sort((order, fin_v), num_keys=1)
+        rg_new = jnp.where(ctx.s_mask, fin_cell, rg)
     else:
         chunk = min(256, n)
         n_chunks = -(-n // chunk)
@@ -337,8 +350,7 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
             in_s = ctx.s_mask[cell]
             cur = jnp.where(in_s, rg[cell], 0)
             s1 = count1 - cur
-            margin = dz[cell] + logtab[s1 + 1] \
-                - logtab[n_move_i - s1 - 2]
+            margin = dz[cell] + dtab[s1]
             draw = (margin > 0.0).astype(jnp.int32)
             new = jnp.where(in_s, draw, rg[cell])
             rg = rg.at[cell].set(new)
@@ -360,7 +372,10 @@ def _rg_scan_assign(key, ctx: _MoveCtx, rg, params_split, state: CRPState,
         )
 
     if trans_prob:
-        acc = _trans_prob_replay(ctx, lau_v, rg_new[order], ll0_v, ll1_v,
+        # The kernel path already has the final sides by visit position;
+        # the scan path gathers them (it updates rg in cell order).
+        fin_vis = fin_v if impl == "pallas" else rg_new[order]
+        acc = _trans_prob_replay(ctx, lau_v, fin_vis, ll0_v, ll1_v,
                                  s_count, state.dp_alpha)
         return rg_new, acc
     return rg_new, jnp.float32(0.0)
@@ -498,11 +513,15 @@ def _reverse_split_prob(key, ctx, rgs: _RGState, state, data, cfg,
 # ---------------------------------------------------------------------------
 
 
-# The rg kernel keeps five [n]-sized arrays in scalar memory (~20 bytes per
-# cell); 50,000 cells (~1 MB) compiles and runs on v5e, 65,536 does not
-# (benchmarks/smem_probe.py). Beyond the cap split-merge falls back to the
-# chunked scan while the (3-array) streaming sweep kernel keeps running.
-RG_SMEM_CELL_CAP = 50000
+# The rg kernel keeps ONE [n]-sized array in scalar memory (the fused count
+# log-table, 4 bytes/cell) since round 4 — its dz/launch/output streams are
+# visit-order sequential and chunk-staged through HBM DMA (ops/pallas_rg.py).
+# Measured on v5e: 196,608 cells (~810 KB with the chunk buffers) compiles
+# and runs, 262,144 (~1.07 MB) does not (benchmarks/smem_probe.py; the
+# round-3 five-array kernel capped at 50,000). Beyond the cap split-merge
+# falls back to the chunked scan while the streaming sweep kernel keeps
+# running.
+RG_SMEM_CELL_CAP = 196608
 
 
 def rg_pallas_available(ax: MutAxis = _NO_AXIS, n_cells: int = 0) -> bool:

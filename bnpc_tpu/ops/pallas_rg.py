@@ -19,11 +19,20 @@ vector ops, no matmuls, no transcendentals:
     difference ``dz[c] = (ll2[c,1]+g1) - (ll2[c,0]+g0)`` (the CRP
     denominator log(n_move-1+alpha) is side-independent and cancels; so
     does the 2-way log-normalization, which is a lateral shift);
-  * ``log(n_i)/log(n_j)`` are SMEM table lookups (``logtab[t] = log t``)
-    because the side counts are integers in [0, n_move];
-  * the visit order is the move's cells compacted to the first ``s_count``
-    slots of a permutation vector, so the loop trip count is the number of
-    movable cells, not n.
+  * ``log(n_j) - log(n_i)`` is ONE fused SMEM table lookup
+    (``dtab[s1] = log(s1+1) - log(n_move-s1-2)``, +inf where side i would
+    empty) because the side counts are integers in [0, n_move];
+  * every per-cell input arrives in VISIT order (the caller's
+    ``_visit_order`` sort compacts the move's cells to the first
+    ``s_count`` positions and co-sorts dz and the launch sides), so the
+    kernel consumes and produces purely SEQUENTIAL streams.
+
+Sequential streams mean the [n]-sized arrays need not live in scalar
+memory: dz and the launch sides stay in HBM, staged chunk-by-chunk into
+small SMEM buffers by leading-dim DMA, and the chosen sides are staged back
+out the same way. The only n-sized SMEM array left is the fused log table
+(4 bytes/cell — the round-3 kernel kept five such arrays and capped at
+50,000 cells; this one compiles at 196,608, benchmarks/smem_probe.py).
 
 The chosen-probability accumulation of the final (trans_prob) scan is NOT
 done in-kernel: given the launch and final side vectors the count evolution
@@ -31,10 +40,8 @@ is deterministic, so it is replayed vectorized outside (prefix/suffix sums
 in visit order — same trick as the merge reverse path,
 bnpc_tpu/models/splitmerge.py:_reverse_split_prob).
 
-The kernel writes ONLY the visited cells' entries of ``rg_out``; the caller
-merges ``where(s_mask, rg_out, rg_in)`` (each cell is visited at most once,
-so the pre-visit value of any cell is always its launch value — the kernel
-reads current sides from ``rg_in``).
+The kernel writes ONLY the chunks it enters (ceil(s_count / C) of them);
+the caller keeps positions >= s_count at their launch values.
 """
 
 from __future__ import annotations
@@ -46,55 +53,91 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Cells staged per chunk DMA. 3 x (1, C) i32/f32 SMEM scratch buffers; the
+# staging is synchronous (a chunk's ~8 KB DMA costs ~1 us against ~100+ us
+# of serial scalar compute, so overlap would hide nothing).
+_CHUNK = 2048
+
 
 def _rg_kernel(
-    dz_ref,       # [n] f32, SMEM — decision margin per cell (see module doc)
-    order_ref,    # [n] i32, SMEM — visit order; first s_count entries movable
-    rg_in_ref,    # [n] i32, SMEM — launch sides
-    logtab_ref,   # [n+2] f32, SMEM — logtab[t] = log(t) (logtab[0] = -inf)
-    scal_ref,     # [3] i32, SMEM — (s_count, count1_init, n_move)
-    rg_out_ref,   # [n] i32, SMEM — sides of visited cells (others unwritten)
+    dzv3_ref,     # [G, 1, C] f32, ANY/HBM — decision margins, VISIT order
+    lauv3_ref,    # [G, 1, C] i32, ANY/HBM — launch sides, visit order
+    dtab_ref,     # [n+2] f32, SMEM — dtab[s1] = log(s1+1) - log(n_move-s1-2)
+    scal_ref,     # [2] i32, SMEM — (s_count, count1_init)
+    outv3_ref,    # [G, 1, C] i32, ANY/HBM — chosen sides by visit position;
+    #               only chunks overlapping [0, s_count) are written
+    dzbuf,        # [1, C] f32, SMEM scratch
+    laubuf,       # [1, C] i32, SMEM scratch
+    outbuf,       # [1, C] i32, SMEM scratch
+    dsem, lsem, osem,
 ):
+    C = dzbuf.shape[1]
     s_count = scal_ref[0]
-    n_move = scal_ref[2]
 
-    def body(i, count1):
-        cell = order_ref[i]
-        cur = rg_in_ref[cell]
-        s1 = count1 - cur
-        margin = dz_ref[cell] + logtab_ref[s1 + 1] \
-            - logtab_ref[n_move - s1 - 2]
-        new = (margin > 0.0).astype(jnp.int32)
-        rg_out_ref[cell] = new
-        return s1 + new
+    def chunk(g, count1):
+        d_dma = pltpu.make_async_copy(dzv3_ref.at[g], dzbuf, dsem)
+        d_dma.start()
+        l_dma = pltpu.make_async_copy(lauv3_ref.at[g], laubuf, lsem)
+        l_dma.start()
+        d_dma.wait()
+        l_dma.wait()
 
-    jax.lax.fori_loop(0, s_count, body, scal_ref[1])
+        def body(i, c1):
+            cur = laubuf[0, i]
+            s1 = c1 - cur
+            new = (dzbuf[0, i] + dtab_ref[s1] > 0.0).astype(jnp.int32)
+            outbuf[0, i] = new
+            return s1 + new
+
+        lim = jnp.minimum(s_count - g * C, C)
+        count1 = jax.lax.fori_loop(0, lim, body, count1)
+        o_dma = pltpu.make_async_copy(outbuf, outv3_ref.at[g], osem)
+        o_dma.start()
+        o_dma.wait()
+        return count1
+
+    n_chunks = jax.lax.div(s_count + (C - 1), C)
+    jax.lax.fori_loop(0, n_chunks, chunk, scal_ref[1])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def rg_scan(dz, order, rg_in, logtab, s_count, count1, n_move, *,
-            interpret: bool = False):
-    """Run the restricted scan; returns the [n] i32 side vector whose entries
-    are valid ONLY at the visited (movable) cells — merge with the launch
-    vector outside."""
-    n = dz.shape[0]
-    scal = jnp.stack([s_count, count1, n_move]).astype(jnp.int32)
-    return pl.pallas_call(
+def rg_scan(dz_v, lau_v, dtab, s_count, count1, *, interpret: bool = False):
+    """Run the restricted scan over visit-order streams.
+
+    dz_v [n] f32 and lau_v [n] i32 are the decision margins and launch sides
+    in VISIT order (movable cells first); dtab [n+2] f32 is the fused count
+    log-table. Returns the [n] i32 chosen-side vector BY VISIT POSITION,
+    valid only at positions < s_count — merge with the launch vector
+    outside.
+    """
+    n = dz_v.shape[0]
+    C = min(_CHUNK, -(-n // 128) * 128)
+    G = -(-n // C)
+    pad = (0, G * C - n)
+    scal = jnp.stack([s_count, count1]).astype(jnp.int32)
+    out3 = pl.pallas_call(
         _rg_kernel,
-        out_shape=jax.ShapeDtypeStruct((n,), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((G, 1, C), jnp.int32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # dz
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # order
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # rg_in
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # logtab
+            pl.BlockSpec(memory_space=pl.ANY),      # dz_v chunks
+            pl.BlockSpec(memory_space=pl.ANY),      # lau_v chunks
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dtab
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.SMEM((1, C), jnp.float32),
+            pltpu.SMEM((1, C), jnp.int32),
+            pltpu.SMEM((1, C), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret,
     )(
-        dz.astype(jnp.float32),
-        order.astype(jnp.int32),
-        rg_in.astype(jnp.int32),
-        logtab.astype(jnp.float32),
+        jnp.pad(dz_v.astype(jnp.float32), pad).reshape(G, 1, C),
+        jnp.pad(lau_v.astype(jnp.int32), pad).reshape(G, 1, C),
+        dtab.astype(jnp.float32),
         scal,
     )
+    return out3.reshape(-1)[:n]

@@ -139,9 +139,10 @@ def test_trans_prob_replay_matches_sequential(seed):
     from bnpc_tpu.ops import likelihood as lk
     c1, c0 = lk.log_prob_tables(params_split, state.fp, state.fn)
     ll2 = packed.xm @ c1.T + packed.xm0 @ c0.T
-    order, _, _, _ = sm._visit_order(k_perm, ctx.s_mask, rg_launch, ll2)
     z = ll2 + gumbel
     dz = z[:, 1] - z[:, 0]
+    order, _, _, _, _ = sm._visit_order(k_perm, ctx.s_mask, rg_launch, ll2,
+                                        dz)
 
     rg_ref, acc_ref = _reference_replay(
         ctx, order, rg_launch, ll2, dz, float(ctx.n_move),
