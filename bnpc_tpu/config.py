@@ -71,6 +71,12 @@ class ModelConfig:
     learn_errors: bool = False
     fp_sd: float = 0.0005
     fn_sd: float = 0.05
+    # RNG draw width for slot-axis randomness (0 -> k_max). The live-width
+    # fast path (mcmc.make_step_fn) runs most steps with a NARROW k_max
+    # while drawing slot-shaped randomness at the FULL width and slicing,
+    # so narrow and wide step bodies consume bit-identical random streams
+    # and can be swapped by a lax.cond without changing the sampled chain.
+    k_rng: int = 0
 
     def __post_init__(self):
         if self.dp_a_shape < 0 or self.dp_a_loc < 0:
@@ -82,6 +88,11 @@ class ModelConfig:
                 f"k_max must be in (0, n_cells]; got {self.k_max} for "
                 f"n={self.n_cells}"
             )
+
+    @property
+    def rng_k(self) -> int:
+        """Slot count at which slot-axis randomness is drawn (>= k_max)."""
+        return self.k_rng or self.k_max
 
     # -- Derived constants (computed on demand; cheap, pure) ----------------
 
@@ -132,6 +143,11 @@ class MCMCConfig:
     # recorded step (the reference grows this axis dynamically,
     # libs/MCMC.py:266-282; we use a static cap and compact live slots into it).
     trace_k: int = 0  # 0 -> min(k_max, 64) chosen at runtime
+    # Opt-in APPROXIMATE blocked Gibbs sweep (models/gibbs._blocked_impl):
+    # 0 (default) = exact reference semantics; N > 0 = decide N cells per
+    # frozen-size block (birth blocks replay exactly). SURVEY.md pivot 3's
+    # reserved approximation — deviates from the reference sampler.
+    gibbs_block: int = 0
     # Share the per-step move-type selection across vmapped chains so the
     # split-merge/Gibbs lax.cond stays a real branch (vmap otherwise lowers
     # it to select, executing BOTH moves for every chain every step). The

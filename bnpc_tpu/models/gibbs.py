@@ -30,9 +30,12 @@ bit-identical results; asserted in tests/test_pallas.py):
     patched in-kernel via column-slice DMA. Kept as a measured
     alternative; it loses to the lazy path unless births/sweep is huge.
 
-Both Pallas paths are unbatched-chains-on-TPU only; bit-identical to the
-scan in interpreter mode, identical modulo the TPU log approximation
-(~2e-6) when compiled.
+All Pallas paths are unbatched-chains-on-TPU only; the lazy and streaming
+variants also run under a sharded MutAxis (Z and birth columns are psummed
+BEFORE the kernel, which then executes identically on every shard — the
+serial sweep is replicated work either way, exactly as in the scan impls).
+Bit-identical to the scan in interpreter mode, identical modulo the TPU log
+approximation (~2e-6) when compiled.
 """
 
 from __future__ import annotations
@@ -58,11 +61,21 @@ def _sweep_keys(key, state, cfg, ax):
     drawn from fold_in(k_beta, i), so eager implementations (which draw the
     whole [n, m] field up front) and the lazy Pallas path (which draws only
     the few rows that actually birth a cluster) produce bit-identical
-    values per cell."""
+    values per cell.
+
+    The Gumbel field is drawn at cfg.rng_k + 1 columns (>= k_max + 1): the
+    live-width fast path (mcmc.make_step_fn) runs a narrow k_max while
+    keeping the full-width draw, so slot j's noise — and the LAST column,
+    the new-cluster option's — is bit-identical between the narrow and wide
+    step bodies. Impls read slot columns as gumbel[:, :k_max] and the aux
+    column as gumbel[:, -1]."""
     n, k_max = cfg.n_cells, cfg.k_max
     k_perm, k_gumbel, k_beta = jax.random.split(key, 3)
     perm = jax.random.permutation(k_perm, n)
-    gumbel = jax.random.gumbel(k_gumbel, (n, k_max + 1))
+    gumbel = jax.random.gumbel(k_gumbel, (n, cfg.rng_k + 1))
+    if cfg.rng_k != k_max:
+        gumbel = jnp.concatenate(
+            [gumbel[:, :k_max], gumbel[:, -1:]], axis=1)
     return perm, gumbel, ax.fold_key(k_beta)
 
 
@@ -105,12 +118,14 @@ def _is_batched(x) -> bool:
     return isinstance(x, BatchTracer)
 
 
-# Above this cell count the sweep kernels' [n]-sized SMEM arrays stop
-# fitting scalar memory. The vector-flow streaming kernel keeps two
-# (aux/assign in visit order; targets ride a VMEM window since round 3):
-# measured on v5e, 98,304 cells (~786 KB) compiles and runs, 131,072 does
-# not (benchmarks/smem_probe.py). The resident kernel keeps three, but its
-# VMEM budget caps it at ~26k cells long before SMEM matters.
+# Above this cell count the RESIDENT kernels' [n]-sized SMEM arrays stop
+# fitting scalar memory (measured on v5e: 98,304 cells of 8 bytes, ~786 KB,
+# compiles; 131,072 does not — benchmarks/smem_probe.py). Only the resident
+# lazy/eager kernels still carry [n] SMEM arrays, and their VMEM budget caps
+# them at ~26k cells long before this matters; the STREAMING kernel
+# chunk-stages aux/assign through SMEM DMA since round 4, so its ceiling is
+# the VMEM accounting in ops/pallas_gibbs.py::stream_vmem_budget_bytes
+# (~3.4M cells at k_pad=128).
 SMEM_CELL_CAP = 98304
 
 
@@ -126,28 +141,49 @@ def resolve_stream(cfg: ModelConfig) -> bool:
 
 def pallas_available(cfg: ModelConfig, ax: MutAxis = _NO_AXIS,
                      eager: bool = False) -> bool:
-    """Whether a fused Pallas sweep can run here: TPU backend, unsharded
-    mutation axis, and the buffers fit. The eager kernel needs all of
+    """Whether a fused Pallas sweep can run here: TPU backend and the
+    buffers fit. The lazy/stream kernels also run under a sharded MutAxis
+    (their inputs are psummed before the kernel); the eager kernel is
+    additionally unsharded-only. The eager kernel needs all of
     Z + the column staging block resident in VMEM (~16 MB/core; ~3 MB
     headroom left for Mosaic temporaries); the default lazy kernel needs
     just Z — and when even that exceeds VMEM, the streaming variant takes
-    over (Z in HBM, chunk-staged), bounded only by the SMEM cell cap."""
+    over (Z in HBM, chunk-staged), bounded by its own VMEM accounting."""
     import os
 
     from bnpc_tpu.ops.pallas_gibbs import vmem_budget_bytes
 
     if os.environ.get("BNPC_TPU_PALLAS", "") == "0":
         return False
-    if ax.sharded or jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu":
         return False
     if eager:
-        return vmem_budget_bytes(cfg.n_cells, cfg.k_max) <= 13 * 1024 * 1024
+        # The eager kernel patches births in-kernel from the precomputed
+        # lf2 matrix — keeping it unsharded-only bounds its test surface.
+        return (not ax.sharded) and \
+            vmem_budget_bytes(cfg.n_cells, cfg.k_max) <= 13 * 1024 * 1024
+    if resolve_stream(cfg):
+        from bnpc_tpu.ops.pallas_gibbs import stream_vmem_budget_bytes
+
+        return stream_vmem_budget_bytes(cfg.n_cells, cfg.k_max) \
+            <= 13 * 1024 * 1024
+    # The resident lazy kernel keeps aux/assign/perm as [n] SMEM arrays,
+    # but its VMEM-resident Z already caps it far below the SMEM ceiling.
     return cfg.n_cells <= SMEM_CELL_CAP
 
 
 def gibbs_sweep(key, state: CRPState, data: PackedData,
                 cfg: ModelConfig, ax: MutAxis = _NO_AXIS,
-                impl: str = "auto", interpret: bool = False) -> CRPState:
+                impl: str = "auto", interpret: bool = False,
+                return_veto: bool = False, block: int = 0):
+    """One full Gibbs sweep. With ``return_veto`` returns (state, veto)
+    where veto is True iff some cell's new-cluster option won its
+    categorical but NO free slot existed (a birth vetoed by the k_max
+    capacity) — the live-width fast path (mcmc.make_step_fn) replays such
+    steps at full width. Not supported for impl="pallas_eager".
+
+    impl="blocked" selects the opt-in APPROXIMATE blocked sweep
+    (_blocked_impl; ``block`` is its block size, default 128)."""
     if impl == "auto":
         # Safe-everywhere default (vmapped chains, sharded, CPU). Callers
         # that run chains unbatched pass impl="auto_single" to get the fused
@@ -184,24 +220,37 @@ def gibbs_sweep(key, state: CRPState, data: PackedData,
     new_post = lk.new_cluster_ll(data, cfg, state.fp, state.fn) \
         + jnp.log(alpha) - log_denom
 
+    if impl == "blocked":
+        perm, gumbel, k_beta = _sweep_keys(key, state, cfg, ax)
+        out = _blocked_impl(state, data, cfg, ax, perm, gumbel, k_beta,
+                            new_post, log_denom, block or 128)
+        return out if return_veto else out[0]
+
     if impl == "pallas" and resolve_stream(cfg):
         impl = "pallas_stream"
     if impl == "pallas":
         # Lazy-birth kernel: newborn rows are drawn (and their Z columns
         # computed) only for the cells that actually birth a cluster.
         perm, gumbel, k_beta = _sweep_keys(key, state, cfg, ax)
-        return _pallas_lazy_impl(state, data, cfg, perm, gumbel, k_beta,
-                                 new_post, log_denom, interpret)
+        out = _pallas_lazy_impl(state, data, cfg, perm, gumbel, k_beta,
+                                new_post, log_denom, interpret, ax,
+                                return_veto)
+        return out if return_veto else out[0]
     if impl == "pallas_stream":
         # Streaming lazy kernel: Z stays in HBM, staged through VMEM chunk
         # buffers — the path for cell counts beyond the resident-Z cap.
         perm, gumbel, k_beta = _sweep_keys(key, state, cfg, ax)
-        return _pallas_stream_impl(state, data, cfg, perm, gumbel, k_beta,
-                                   new_post, log_denom, interpret)
+        out = _pallas_stream_impl(state, data, cfg, perm, gumbel, k_beta,
+                                  new_post, log_denom, interpret, ax,
+                                  return_veto)
+        return out if return_veto else out[0]
 
     perm, gumbel, fresh = _hoisted_randomness(key, state, data, cfg, ax)
 
     if impl == "pallas_eager":
+        if return_veto:
+            raise ValueError(
+                "return_veto is not supported for impl='pallas_eager'")
         return _pallas_impl(state, data, cfg, perm, gumbel, fresh,
                             new_post, log_denom, interpret)
     if impl == "scan":
@@ -211,10 +260,12 @@ def gibbs_sweep(key, state: CRPState, data: PackedData,
         # variant remains selectable (it is the better shape under vmap).
         impl = "scan_cond"
     if impl == "scan_dense":
-        return _scan_dense_impl(state, data, cfg, ax, perm, gumbel, fresh,
-                                new_post, log_denom)
-    return _scan_impl(state, data, cfg, ax, perm, gumbel, fresh, new_post,
-                      log_denom)
+        out = _scan_dense_impl(state, data, cfg, ax, perm, gumbel, fresh,
+                               new_post, log_denom)
+    else:
+        out = _scan_impl(state, data, cfg, ax, perm, gumbel, fresh,
+                         new_post, log_denom)
+    return out if return_veto else out[0]
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +294,7 @@ def _scan_dense_impl(state, data, cfg, ax, perm, gumbel, fresh, new_post,
     aux = new_post + gumbel[:, k_max]
 
     def step(carry, cell):
-        assignment, params, size, born_by = carry
+        assignment, params, size, born_by, veto = carry
 
         old = assignment[cell]
         size = size.at[old].add(-1)
@@ -257,6 +308,7 @@ def _scan_dense_impl(state, data, cfg, ax, perm, gumbel, fresh, new_post,
         post_old = jnp.where(live, z_row + prior, NEG_INF)
         has_free = jnp.any(~live)
         post_new = jnp.where(has_free, aux[cell], NEG_INF)
+        veto = veto | ((~has_free) & (aux[cell] > jnp.max(post_old)))
         logits = jnp.concatenate([post_old, post_new[None]])
 
         choice = jnp.argmax(logits).astype(jnp.int32)
@@ -272,14 +324,15 @@ def _scan_dense_impl(state, data, cfg, ax, perm, gumbel, fresh, new_post,
         )
         size = size.at[target].add(1)
         assignment = assignment.at[cell].set(target)
-        return (assignment, params, size, born_by), None
+        return (assignment, params, size, born_by, veto), None
 
     born_by0 = jnp.full((k_max,), -1, jnp.int32)
-    init = (state.assignment, state.params, state.cluster_size, born_by0)
-    (assignment, params, size, _), _ = jax.lax.scan(step, init, perm)
+    init = (state.assignment, state.params, state.cluster_size, born_by0,
+            jnp.bool_(False))
+    (assignment, params, size, _, veto), _ = jax.lax.scan(step, init, perm)
     return state._replace(
         assignment=assignment, params=params, cluster_size=size
-    )
+    ), veto
 
 
 # ---------------------------------------------------------------------------
@@ -302,7 +355,7 @@ def _scan_impl(state, data, cfg, ax, perm, gumbel, fresh, new_post,
     aux = new_post + gumbel[:, k_max]
 
     def step(carry, cell):
-        assignment, params, size, z = carry
+        assignment, params, size, z, veto = carry
 
         # Remove the cell from its cluster (libs/CRP.py:262-266).
         old = assignment[cell]
@@ -314,6 +367,7 @@ def _scan_impl(state, data, cfg, ax, perm, gumbel, fresh, new_post,
         post_old = jnp.where(live, z[cell] + prior, NEG_INF)
         has_free = jnp.any(~live)
         post_new = jnp.where(has_free, aux[cell], NEG_INF)
+        veto = veto | ((~has_free) & (aux[cell] > jnp.max(post_old)))
         logits = jnp.concatenate([post_old, post_new[None]])
 
         choice = jnp.argmax(logits).astype(jnp.int32)
@@ -339,15 +393,170 @@ def _scan_impl(state, data, cfg, ax, perm, gumbel, fresh, new_post,
 
         size = size.at[target].add(1)
         assignment = assignment.at[cell].set(target)
-        return (assignment, params, size, z), None
+        return (assignment, params, size, z, veto), None
 
-    init = (state.assignment, state.params, state.cluster_size, z0)
+    init = (state.assignment, state.params, state.cluster_size, z0,
+            jnp.bool_(False))
     # Mild unroll amortizes While-loop control overhead (~9% on v5e).
-    (assignment, params, size, _), _ = jax.lax.scan(step, init, perm,
-                                                    unroll=4)
+    (assignment, params, size, _, veto), _ = jax.lax.scan(step, init, perm,
+                                                          unroll=4)
     return state._replace(
         assignment=assignment, params=params, cluster_size=size
-    )
+    ), veto
+
+
+# ---------------------------------------------------------------------------
+# Opt-in blocked (approximate) sweep — SURVEY.md pivot 3's reserved variant
+# ---------------------------------------------------------------------------
+
+
+def _blocked_impl(state, data, cfg, ax, perm, gumbel, k_beta, new_post,
+                  log_denom, block):
+    """Opt-in APPROXIMATE blocked sweep. No reference counterpart — the
+    reference sweep is strictly sequential (libs/CRP.py:254-299); SURVEY.md
+    pivot 3 reserved this as an opt-in approximation, default OFF.
+
+    Cells are visited in the same permuted order as the exact impls, but in
+    blocks of ``block`` cells: within a block every cell decides against the
+    cluster sizes FROZEN at block entry (minus its own membership), and the
+    size/assignment updates are applied once per block — so the per-cell
+    serial dependency chain (the structural floor of the exact kernels)
+    shrinks from n links to n/block. Any block whose frozen-size pass
+    includes a cluster-birth decision is REPLAYED exactly (per-cell
+    sequential semantics identical to _scan_impl) from the block boundary:
+    births — the one event later cells MUST see — never happen under frozen
+    sizes, and a burn-in phase with births in every block degenerates
+    gracefully to the exact sampler. block=1 reproduces the exact scan's
+    partition evolution bit-for-bit (newborn params to f32 round-off — they
+    are drawn per cell here, vmapped there;
+    tests/test_blocked.py::test_block1_bit_identical).
+
+    The approximation error is the within-block size drift: a decision can
+    miss at most block-1 membership changes out of n-1+alpha, an O(block/n)
+    logit perturbation. Stationary-distribution impact is measured on the
+    enumerable 5-cell posterior (test_blocked::test_blocked_stationary_tv)
+    and at the reference's 100x100 example scale (BASELINE.md).
+
+    Pure XLA (no Pallas): runs everywhere — CPU, TPU, sharded MutAxis, and
+    under vmap (where the birth-replay lax.cond lowers to running both
+    branches, costing the scan rate; the intended regime is unbatched
+    large-n chains where the exact kernels are latency-bound).
+    """
+    n, k_max = cfg.n_cells, cfg.k_max
+    B = max(1, int(block))
+    G = -(-n // B)
+    nB = G * B
+
+    c1, c0 = lk.log_prob_tables(state.params, state.fp, state.fn)
+    z0 = lk.ll_matrix(data, c1, c0, ax) + gumbel[:, :k_max]
+    aux = new_post + gumbel[:, k_max]
+
+    # Visit-order staging: one gather per sweep (same trick as the
+    # streaming kernel), so per-block reads are contiguous dynamic slices.
+    z_v = jnp.pad(jnp.take(z0, perm, axis=0), [(0, nB - n), (0, 0)])
+    aux_v = jnp.pad(jnp.take(aux, perm), (0, nB - n),
+                    constant_values=NEG_INF)
+    old_v = jnp.pad(jnp.take(state.assignment, perm).astype(jnp.int32),
+                    (0, nB - n))
+    cell_v = jnp.pad(perm.astype(jnp.int32), (0, nB - n))
+    act_v = jnp.arange(nB) < n
+    iota_k = jnp.arange(k_max)
+
+    def exact_block(base, sizes, params, z_v, tgt0):
+        """Sequential exact replay of one block — the _scan_impl body over
+        the block's cells, with z carried in visit order."""
+
+        def body(j, c):
+            sizes, params, z_v, tgt, veto = c
+            pp = base + j
+            act = act_v[pp]
+            old = old_v[pp]
+            delta = jnp.where(act, 1, 0)
+            sizes = sizes.at[old].add(-delta)
+            live = sizes > 0
+            prior = jnp.log(
+                jnp.maximum(sizes, 1).astype(jnp.float32)) - log_denom
+            post_old = jnp.where(live, z_v[pp] + prior, NEG_INF)
+            has_free = jnp.any(~live)
+            post_new = jnp.where(has_free, aux_v[pp], NEG_INF)
+            veto = veto | (act & (~has_free)
+                           & (aux_v[pp] > jnp.max(post_old)))
+            choice = jnp.argmax(
+                jnp.concatenate([post_old, post_new[None]])
+            ).astype(jnp.int32)
+            free = jnp.argmax(sizes == 0).astype(jnp.int32)
+            is_new = act & (choice == k_max)
+            target = jnp.where(choice == k_max, free, choice)
+            target = jnp.where(act, target, old)
+
+            def birth(params, z_v):
+                cell = cell_v[pp]
+                theta = fresh_row(k_beta, cell, data, cfg)
+                f1r, f0r = lk.log_prob_tables(theta, state.fp, state.fn)
+                col = lk.ll_col(f1r, f0r, data.xm, data.xm0, ax)
+                col_v = jnp.pad(jnp.take(col + jnp.take(gumbel, free,
+                                                        axis=1), perm),
+                                (0, nB - n))
+                return params.at[free].set(theta), \
+                    z_v.at[:, free].set(col_v)
+
+            params, z_v = jax.lax.cond(
+                is_new, birth, lambda p_, z_: (p_, z_), params, z_v)
+            sizes = sizes.at[target].add(delta)
+            tgt = tgt.at[j].set(target)
+            return (sizes, params, z_v, tgt, veto)
+
+        return jax.lax.fori_loop(
+            0, B, body, (sizes, params, z_v, tgt0, jnp.bool_(False)))
+
+    def block_step(carry, b):
+        sizes, params, z_v, veto = carry
+        base = b * B
+        zb = jax.lax.dynamic_slice(z_v, (base, 0), (B, k_max))
+        auxb = jax.lax.dynamic_slice(aux_v, (base,), (B,))
+        oldb = jax.lax.dynamic_slice(old_v, (base,), (B,))
+        actb = jax.lax.dynamic_slice(act_v, (base,), (B,))
+
+        # Frozen-size pass, all cells of the block at once ([B, k] VPU work
+        # instead of B serial [1, k] steps).
+        oh_old = (oldb[:, None] == iota_k[None, :]) & actb[:, None]
+        sizes_excl = sizes[None, :] - oh_old.astype(sizes.dtype)
+        live = sizes_excl > 0
+        prior = jnp.log(
+            jnp.maximum(sizes_excl, 1).astype(jnp.float32)) - log_denom
+        post_old = jnp.where(live, zb + prior, NEG_INF)
+        best = jnp.max(post_old, axis=1)
+        has_free = jnp.any(~live, axis=1)
+        cand = (auxb > best) & actb
+        any_birth = jnp.any(cand & has_free)
+        choice = jnp.argmax(post_old, axis=1).astype(jnp.int32)
+
+        def fast(args):
+            sizes, params, z_v = args
+            tgt = jnp.where(actb, choice, oldb)
+            oh_new = (tgt[:, None] == iota_k[None, :]) & actb[:, None]
+            d = oh_new.astype(sizes.dtype).sum(0) \
+                - oh_old.astype(sizes.dtype).sum(0)
+            return sizes + d, params, z_v, tgt, \
+                jnp.any(cand & ~has_free)
+
+        def slow(args):
+            sizes, params, z_v = args
+            return exact_block(base, sizes, params, z_v, oldb)
+
+        sizes, params, z_v, tgt, vet = jax.lax.cond(
+            any_birth, slow, fast, (sizes, params, z_v))
+        return (sizes, params, z_v, veto | vet), tgt
+
+    init = (state.cluster_size, state.params, z_v, jnp.bool_(False))
+    (sizes, params, _, veto), tgt_blocks = jax.lax.scan(
+        block_step, init, jnp.arange(G))
+    tgt_v = tgt_blocks.reshape(-1)[:n]
+    # Sort-scatter back to cell order (see _pallas_lazy_impl).
+    _, assignment = jax.lax.sort((perm.astype(jnp.int32), tgt_v), num_keys=1)
+    return state._replace(
+        assignment=assignment, cluster_size=sizes, params=params
+    ), veto
 
 
 # ---------------------------------------------------------------------------
@@ -424,7 +633,8 @@ def _pallas_impl(state, data, cfg, perm, gumbel, fresh, new_post, log_denom,
 
 
 def _pallas_lazy_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
-                      log_denom, interpret):
+                      log_denom, interpret, ax: MutAxis = _NO_AXIS,
+                      track_veto: bool = False):
     """Birth-lazy fused sweep: the eager precomputes (the [n, m] newborn
     Beta field, its log tables, and the [n, n] cross-likelihood matmul,
     ~60% of the sweep's device time at 5,000 x 200) are replaced by an
@@ -437,6 +647,10 @@ def _pallas_lazy_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
     Bit-identical to the scan/eager impls given the same sweep key: the
     newborn randomness is counter-based per cell (see _sweep_keys), and the
     patched column uses the same lk.ll_col formulation as the scan birth.
+
+    Works under a sharded MutAxis: Z and the birth columns are psummed
+    BEFORE the kernel, so the kernel itself runs identically on every
+    shard from replicated inputs (exactly like the scan's per-cell body).
     """
     from bnpc_tpu.ops.pallas_gibbs import _round_up, pallas_lazy_segment
 
@@ -446,7 +660,7 @@ def _pallas_lazy_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
 
     c1, c0 = lk.log_prob_tables(state.params, state.fp, state.fn)
     z0 = jnp.pad(
-        lk.ll_matrix(data, c1, c0) + gumbel[:, :k_max],
+        lk.ll_matrix(data, c1, c0, ax) + gumbel[:, :k_max],
         [(0, n8 - n), (0, k_pad - k_max)],
     )  # [n8, k_pad]
     aux = new_post + gumbel[:, k_max]
@@ -467,19 +681,20 @@ def _pallas_lazy_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
         return carry[0] < n
 
     def body(carry):
-        i0, z, tgt_v, sizes, params = carry
+        i0, z, tgt_v, sizes, params, veto = carry
         tgt, sizes, info = pallas_lazy_segment(
             z, aux, assign0, perm, sizes, i0, log_denom,
-            interpret=interpret,
+            interpret=interpret, track_veto=track_veto,
         )
         i_next, bcell, bslot = info[0], info[1], info[2]
+        veto = veto | (info[3] > 0)
         done = (pos >= i0) & (pos < i_next)
         tgt_v = jnp.where(done, tgt, tgt_v)
 
         def patch(z, params):
             theta = fresh_row(k_beta, bcell, data, cfg)
             f1r, f0r = lk.log_prob_tables(theta, state.fp, state.fn)
-            col = lk.ll_col(f1r, f0r, data.xm, data.xm0) \
+            col = lk.ll_col(f1r, f0r, data.xm, data.xm0, ax) \
                 + jnp.take(gumbel, bslot, axis=1)
             z2 = jax.lax.dynamic_update_slice(
                 z, jnp.pad(col, (0, n8 - n))[:, None],
@@ -490,11 +705,11 @@ def _pallas_lazy_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
         z, params = jax.lax.cond(
             bcell >= 0, patch, lambda z_, p_: (z_, p_), z, params
         )
-        return (i_next, z, tgt_v, sizes, params)
+        return (i_next, z, tgt_v, sizes, params, veto)
 
     init = (jnp.int32(0), z0, jnp.zeros((n,), jnp.int32), sizes0,
-            state.params)
-    _, _, tgt_v, sizes, params = jax.lax.while_loop(cond, body, init)
+            state.params, jnp.bool_(False))
+    _, _, tgt_v, sizes, params, veto = jax.lax.while_loop(cond, body, init)
     # Scatter targets back to cell order: sorting (perm, tgt_v) by the
     # permutation keys IS the scatter assignment[perm[t]] = tgt_v[t].
     _, assignment = jax.lax.sort((perm.astype(jnp.int32), tgt_v), num_keys=1)
@@ -502,7 +717,7 @@ def _pallas_lazy_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
         assignment=assignment,
         cluster_size=sizes[0, :k_max].astype(jnp.int32),
         params=params,
-    )
+    ), veto
 
 
 # ---------------------------------------------------------------------------
@@ -511,7 +726,8 @@ def _pallas_lazy_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
 
 
 def _pallas_stream_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
-                        log_denom, interpret):
+                        log_denom, interpret, ax: MutAxis = _NO_AXIS,
+                        track_veto: bool = False):
     """The lazy-birth sweep with Z resident in HBM instead of VMEM: the
     VMEM-resident kernel caps n * k_pad at ~26k cells x 128 slots; this path
     reorders everything into VISIT (permutation) order once per sweep so the
@@ -526,12 +742,12 @@ def _pallas_stream_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
     n, m, k_max = cfg.n_cells, cfg.n_muts, cfg.k_max
     k_pad = _round_up(k_max, 128)
     # C stays a multiple of the kernel's batch size (or B shrinks to C).
-    C = min(stream_chunk_rows(k_max), _round_up(n, 128))
+    C = min(stream_chunk_rows(k_max, n), _round_up(n, 128))
     G = -(-n // C)
     nC = G * C
 
     c1, c0 = lk.log_prob_tables(state.params, state.fp, state.fn)
-    z0 = lk.ll_matrix(data, c1, c0) + gumbel[:, :k_max]  # [n, k_max]
+    z0 = lk.ll_matrix(data, c1, c0, ax) + gumbel[:, :k_max]  # [n, k_max]
     # Visit-order gather + chunking (one memory pass per sweep).
     zp = jnp.pad(jnp.take(z0, perm, axis=0),
                  [(0, nC - n), (0, k_pad - k_max)])
@@ -552,11 +768,13 @@ def _pallas_stream_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
         return carry[0] < n
 
     def body(carry):
-        i0, zp3, tgt_v, sizes, params = carry
+        i0, zp3, tgt_v, sizes, params, veto = carry
         tgt, sizes, info = pallas_lazy_segment_stream(
             zp3, auxp, assignp, sizes, i0, log_denom, interpret=interpret,
+            track_veto=track_veto,
         )
         i_next, bpos, bslot = info[0], info[1], info[2]
+        veto = veto | (info[3] > 0)
         done = (pos >= i0) & (pos < i_next)
         # Targets accumulate in VISIT order; one sort-scatter at the end
         # (see _pallas_lazy_impl — same rationale).
@@ -566,7 +784,7 @@ def _pallas_stream_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
             bcell = permC[jnp.maximum(bpos, 0)]
             theta = fresh_row(k_beta, bcell, data, cfg)
             f1r, f0r = lk.log_prob_tables(theta, state.fp, state.fn)
-            col = lk.ll_col(f1r, f0r, data.xm, data.xm0) \
+            col = lk.ll_col(f1r, f0r, data.xm, data.xm0, ax) \
                 + jnp.take(gumbel, bslot, axis=1)
             colp = jnp.pad(jnp.take(col, perm), (0, nC - n))
             zp2 = jax.lax.dynamic_update_slice(
@@ -577,14 +795,14 @@ def _pallas_stream_impl(state, data, cfg, perm, gumbel, k_beta, new_post,
         zp3, params = jax.lax.cond(
             bpos >= 0, patch, lambda z_, p_: (z_, p_), zp3, params
         )
-        return (i_next, zp3, tgt_v, sizes, params)
+        return (i_next, zp3, tgt_v, sizes, params, veto)
 
     init = (jnp.int32(0), zp3, jnp.zeros((n,), jnp.int32), sizes0,
-            state.params)
-    _, _, tgt_v, sizes, params = jax.lax.while_loop(cond, body, init)
+            state.params, jnp.bool_(False))
+    _, _, tgt_v, sizes, params, veto = jax.lax.while_loop(cond, body, init)
     _, assignment = jax.lax.sort((perm.astype(jnp.int32), tgt_v), num_keys=1)
     return state._replace(
         assignment=assignment,
         cluster_size=sizes[0, :k_max].astype(jnp.int32),
         params=params,
-    )
+    ), veto

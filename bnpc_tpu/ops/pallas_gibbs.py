@@ -64,6 +64,17 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+def _sds(shape, dtype, *like):
+    """ShapeDtypeStruct whose varying-mesh-axes are the union of the traced
+    inputs' — required by shard_map's vma checking when a kernel runs under
+    a sharded MutAxis (its inputs are psummed/replicated, so outputs vary
+    exactly as much as the inputs do; outside shard_map vma is empty)."""
+    vma = frozenset()
+    for x in like:
+        vma = vma | getattr(jax.typeof(x), "vma", frozenset())
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 def _sweep_kernel(
     # inputs
     ll0_ref,        # [n8, k_pad] f32, ANY/HBM — Z = ll0 + gumbel
@@ -303,6 +314,7 @@ _LANE = 128  # batch size of the vector-flow loop == the VPU lane width
 
 
 def _lazy_segment_kernel(
+    track_veto,     # static: whether to spend per-cell ops on cap_veto
     # inputs
     z_ref,          # [n8, k_pad] f32, ANY/HBM — current Z (Gumbel folded),
     #                 kept up to date across launches by the caller
@@ -317,8 +329,12 @@ def _lazy_segment_kernel(
     tgt_out_ref,    # [nb, 128] i32, VMEM — chosen slot per PERMUTATION
     #                 POSITION (row-major); only [i0, i_next) is meaningful
     sizes_out_ref,  # [1, k_pad] f32, VMEM
-    info_ref,       # [3] i32, SMEM — (i_next, birth_cell, birth_slot);
-    #                 birth_cell == -1 when the segment ran to the end
+    info_ref,       # [4] i32, SMEM — (i_next, birth_cell, birth_slot,
+    #                 cap_veto); birth_cell == -1 when the segment ran to
+    #                 the end; cap_veto = 1 iff some cell's new-cluster
+    #                 option won but NO free slot existed (the birth was
+    #                 vetoed by the k_max capacity — the live-width fast
+    #                 path replays such steps at full width, mcmc.py)
     # scratch
     v_scr,          # [n8, k_pad] f32 — the resident Z working matrix
     init_sem,
@@ -352,15 +368,15 @@ def _lazy_segment_kernel(
     kpadf = jnp.float32(k_pad)
 
     def outer_cond(carry):
-        b, _, bposv, _ = carry
+        b, _, bposv, _, _ = carry
         return (b < nb) & (bposv[0, 0] >= nI)
 
     def outer_body(carry):
-        b, sizes0, bposv0, bslotv0 = carry
+        b, sizes0, bposv0, bslotv0, vetov0 = carry
         base = b * _LANE
 
         def body(j, c):
-            sizes, bposv, bslotv, w = c
+            sizes, bposv, bslotv, w, vetov = c
             i = base + j
             # Inert positions still issue their SMEM reads — keep the
             # indices in bounds (OOB SMEM reads fault nondeterministically).
@@ -385,6 +401,9 @@ def _lazy_segment_kernel(
             free = jnp.min(jnp.where(sizes == 0.0, iota_kf, kpadf),
                            axis=1, keepdims=True)                # [1, 1]
             is_new = cand & (free < kpadf)
+            if track_veto:
+                vetov = jnp.maximum(
+                    vetov, (cand & (free >= kpadf)).astype(jnp.int32))
             idx = jnp.min(jnp.where(logits == best, iota_kf, kpadf),
                           axis=1, keepdims=True)                 # [1, 1]
             tgt = jnp.where(is_new, free, idx).astype(jnp.int32)
@@ -393,19 +412,20 @@ def _lazy_segment_kernel(
             w = jnp.where(lane == j, tgt, w)
             bposv = jnp.where(is_new, i, bposv)
             bslotv = jnp.where(is_new, tgt, bslotv)
-            return (sizes, bposv, bslotv, w)
+            return (sizes, bposv, bslotv, w, vetov)
 
         w0 = jnp.zeros((1, _LANE), jnp.int32)
-        sizes, bposv, bslotv, w = jax.lax.fori_loop(
-            0, _LANE, body, (sizes0, bposv0, bslotv0, w0))
+        sizes, bposv, bslotv, w, vetov = jax.lax.fori_loop(
+            0, _LANE, body, (sizes0, bposv0, bslotv0, w0, vetov0))
         tgt_out_ref[pl.ds(b, 1), :] = w
-        return (b + 1, sizes, bposv, bslotv)
+        return (b + 1, sizes, bposv, bslotv, vetov)
 
     b0 = jax.lax.div(i0, _LANE)
-    _, sizes, bposv, bslotv = jax.lax.while_loop(
+    _, sizes, bposv, bslotv, vetov = jax.lax.while_loop(
         outer_cond, outer_body,
         (b0, sizes_in_ref[0, :][None, :],
-         jnp.full((1, 1), n, jnp.int32), jnp.full((1, 1), -1, jnp.int32)),
+         jnp.full((1, 1), n, jnp.int32), jnp.full((1, 1), -1, jnp.int32),
+         jnp.zeros((1, 1), jnp.int32)),
     )
     sizes_out_ref[...] = sizes
     bpos = bposv[0, 0]
@@ -413,11 +433,12 @@ def _lazy_segment_kernel(
     info_ref[0] = jnp.where(birth, bpos + 1, nI)
     info_ref[1] = jnp.where(birth, perm_ref[jnp.minimum(bpos, n - 1)], -1)
     info_ref[2] = jnp.where(birth, bslotv[0, 0], -1)
+    info_ref[3] = vetov[0, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "track_veto"))
 def pallas_lazy_segment(z, aux, assign, perm, sizes, i0, log_denom, *,
-                        interpret=False):
+                        interpret=False, track_veto=False):
     """Run one birth-bounded segment of the sweep (see kernel docstring).
 
     z: [n8, k_pad] the current Gumbel-folded Z matrix; aux: [n]; assign [n]
@@ -425,18 +446,18 @@ def pallas_lazy_segment(z, aux, assign, perm, sizes, i0, log_denom, *,
     i32 start position.
 
     Returns (targets_by_position [n] i32, sizes [1, k_pad] f32,
-    info [3] i32 = (i_next, birth_cell, birth_slot)).
+    info [4] i32 = (i_next, birth_cell, birth_slot, cap_veto)).
     """
     n_pad8, k_pad = z.shape
     n = assign.shape[0]
     nb = -(-n // _LANE)
 
     tgt2, sizes_out, info = pl.pallas_call(
-        _lazy_segment_kernel,
+        functools.partial(_lazy_segment_kernel, track_veto),
         out_shape=(
-            jax.ShapeDtypeStruct((nb, _LANE), jnp.int32),
-            jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((3,), jnp.int32),
+            _sds((nb, _LANE), jnp.int32, z, aux, sizes),
+            _sds((1, k_pad), jnp.float32, z, aux, sizes),
+            _sds((4,), jnp.int32, z, aux, sizes),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # z
@@ -498,32 +519,45 @@ def lazy_vmem_budget_bytes(n: int, k_max: int) -> int:
 
 
 def _lazy_stream_kernel(
+    track_veto,     # static: whether to spend per-cell ops on cap_veto
     # inputs
     zp3_ref,        # [G, C, k_pad] f32, ANY/HBM — Z rows in VISIT order
-    auxp_ref,       # [n] f32, SMEM — new-cluster logit per position
-    assignp_ref,    # [n] i32, SMEM — pre-sweep assignment of perm[i]
+    auxp3_ref,      # [G, 1, C] f32, ANY/HBM — new-cluster logit per position
+    assignp3_ref,   # [G, 1, C] i32, ANY/HBM — pre-sweep assignment of perm[i]
     sizes_in_ref,   # [1, k_pad] f32, VMEM (-1 sentinel on padded slots)
-    i0_ref,         # [1] i32, SMEM — start position
+    i0_ref,         # [2] i32, SMEM — (start position, real cell count)
     logden_ref,     # [1, 1] f32, SMEM
     # outputs
     tgt_out_ref,    # [nb, B] i32, VMEM — chosen slot per position
     #                 (row-major); only [i0, i_next) is meaningful
     sizes_out_ref,  # [1, k_pad] f32, VMEM
-    info_ref,       # [3] i32, SMEM — (i_next, birth_pos, birth_slot)
+    info_ref,       # [4] i32, SMEM — (i_next, birth_pos, birth_slot,
+    #                 cap_veto — see _lazy_segment_kernel)
     # scratch
-    buf,            # [C, k_pad] f32, VMEM — chunk staging buffer
-    sem,
+    buf,            # [C, k_pad] f32, VMEM — Z chunk staging buffer
+    abuf,           # [1, C] f32, SMEM — aux chunk
+    sbuf,           # [1, C] i32, SMEM — assignment chunk
+    sem, asem, ssem,
 ):
     # Same vector-flow batched loop as _lazy_segment_kernel (see its
     # notes), with one structural change: instead of nesting a batch loop
     # inside a chunk loop (three loop levels — a Mosaic ICE risk), there is
-    # ONE while over batches and the chunk DMA fires under pl.when whenever
+    # ONE while over batches and the chunk DMAs fire under pl.when whenever
     # the batch enters a new chunk. B divides C (asserted by the wrapper),
     # so a batch never straddles a chunk boundary.
-    n = auxp_ref.shape[0]
+    #
+    # aux/assign are chunk-staged into SMEM alongside the Z chunk (HBM->SMEM
+    # DMA) rather than held as [n] SMEM inputs: the per-cell reads stay on
+    # the SCALAR unit — off the vector critical path, where they are ~free
+    # because the index is a pure function of the loop counter — while the
+    # scalar-memory footprint is one chunk (two [1, C] buffers), not O(n).
+    # (The round-3 [n]-SMEM layout capped at 98,304 cells; a round-4 interim
+    # that read aux/assign from VMEM via lane reductions put 4 extra vector
+    # ops on the serial chain and measured 60% slower at 50k cells.)
     C, k_pad = buf.shape
     nb, B = tgt_out_ref.shape
-    nI = jnp.int32(n)
+    n = i0_ref[1]  # real cell count (positions >= n are padding)
+    nI = n
 
     tgt_out_ref[...] = jnp.zeros((nb, B), jnp.int32)
 
@@ -535,11 +569,11 @@ def _lazy_stream_kernel(
     kpadf = jnp.float32(k_pad)
 
     def outer_cond(carry):
-        b, _, _, bposv, _ = carry
+        b, _, _, bposv, _, _ = carry
         return (b < nb) & (bposv[0, 0] >= nI)
 
     def outer_body(carry):
-        b, g_cur, sizes0, bposv0, bslotv0 = carry
+        b, g_cur, sizes0, bposv0, bslotv0, vetov0 = carry
         base = b * B
         g = jax.lax.div(base, C)
 
@@ -547,15 +581,20 @@ def _lazy_stream_kernel(
         def _():
             dma = pltpu.make_async_copy(zp3_ref.at[g], buf, sem)
             dma.start()
+            a_dma = pltpu.make_async_copy(auxp3_ref.at[g], abuf, asem)
+            a_dma.start()
+            s_dma = pltpu.make_async_copy(assignp3_ref.at[g], sbuf, ssem)
+            s_dma.start()
             dma.wait()
+            a_dma.wait()
+            s_dma.wait()
 
         boff = base - g * C  # the batch's row offset inside the chunk
 
         def body(j, c):
-            sizes, bposv, bslotv, w = c
+            sizes, bposv, bslotv, w, vetov = c
             pp = base + j
-            ppc = jnp.minimum(pp, n - 1)  # clamp inert tail reads
-            old = assignp_ref[ppc]
+            old = sbuf[0, boff + j]
             act = ((pp >= i0) & (pp < nI)) & (bposv >= nI)  # [1, 1]
 
             sizes = sizes - ((iota_k == old) & act).astype(jnp.float32)
@@ -563,10 +602,13 @@ def _lazy_stream_kernel(
             v = buf[pl.ds(boff + j, 1), :]
             logits = v + (jnp.log(jnp.maximum(sizes, 0.0)) - log_denom)
             best = jnp.max(logits, axis=1, keepdims=True)        # [1, 1]
-            cand = (auxp_ref[ppc] > best) & act                  # [1, 1]
+            cand = (abuf[0, boff + j] > best) & act              # [1, 1]
             free = jnp.min(jnp.where(sizes == 0.0, iota_kf, kpadf),
                            axis=1, keepdims=True)                # [1, 1]
             is_new = cand & (free < kpadf)
+            if track_veto:
+                vetov = jnp.maximum(
+                    vetov, (cand & (free >= kpadf)).astype(jnp.int32))
             idx = jnp.min(jnp.where(logits == best, iota_kf, kpadf),
                           axis=1, keepdims=True)                 # [1, 1]
             tgt = jnp.where(is_new, free, idx).astype(jnp.int32)
@@ -575,19 +617,20 @@ def _lazy_stream_kernel(
             w = jnp.where(lane == j, tgt, w)
             bposv = jnp.where(is_new, pp, bposv)
             bslotv = jnp.where(is_new, tgt, bslotv)
-            return (sizes, bposv, bslotv, w)
+            return (sizes, bposv, bslotv, w, vetov)
 
         w0 = jnp.zeros((1, B), jnp.int32)
-        sizes, bposv, bslotv, w = jax.lax.fori_loop(
-            0, B, body, (sizes0, bposv0, bslotv0, w0))
+        sizes, bposv, bslotv, w, vetov = jax.lax.fori_loop(
+            0, B, body, (sizes0, bposv0, bslotv0, w0, vetov0))
         tgt_out_ref[pl.ds(b, 1), :] = w
-        return (b + 1, g, sizes, bposv, bslotv)
+        return (b + 1, g, sizes, bposv, bslotv, vetov)
 
     b0 = jax.lax.div(i0, B)
-    _, _, sizes, bposv, bslotv = jax.lax.while_loop(
+    _, _, sizes, bposv, bslotv, vetov = jax.lax.while_loop(
         outer_cond, outer_body,
         (b0, jnp.int32(-1), sizes_in_ref[0, :][None, :],
-         jnp.full((1, 1), n, jnp.int32), jnp.full((1, 1), -1, jnp.int32)),
+         jnp.full((1, 1), n, jnp.int32), jnp.full((1, 1), -1, jnp.int32),
+         jnp.zeros((1, 1), jnp.int32)),
     )
     sizes_out_ref[...] = sizes
     bpos = bposv[0, 0]
@@ -595,11 +638,12 @@ def _lazy_stream_kernel(
     info_ref[0] = jnp.where(birth, bpos + 1, nI)
     info_ref[1] = jnp.where(birth, bpos, -1)
     info_ref[2] = jnp.where(birth, bslotv[0, 0], -1)
+    info_ref[3] = vetov[0, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "track_veto"))
 def pallas_lazy_segment_stream(zp3, auxp, assignp, sizes, i0, log_denom, *,
-                               interpret=False):
+                               interpret=False, track_veto=False):
     """Run one birth-bounded segment of the sweep, streaming Z from HBM.
 
     zp3: [G, C, k_pad] the Gumbel-folded Z matrix in VISIT order, chunked
@@ -607,28 +651,29 @@ def pallas_lazy_segment_stream(zp3, auxp, assignp, sizes, i0, log_denom, *,
     order; sizes [1, k_pad] f32 with -1 sentinels; i0 scalar i32.
 
     Returns (targets_by_position [n] i32, sizes [1, k_pad] f32,
-    info [3] i32 = (i_next, birth_pos, birth_slot)); birth_pos is a
-    PERMUTATION POSITION (the caller maps it to a cell via perm).
+    info [4] i32 = (i_next, birth_pos, birth_slot, cap_veto)); birth_pos
+    is a PERMUTATION POSITION (the caller maps it to a cell via perm).
     """
-    _, C, k_pad = zp3.shape
+    G, C, k_pad = zp3.shape
     n = auxp.shape[0]
     B = min(_LANE, C)
     assert C % B == 0, (C, B)
     nb = -(-n // B)
+    npad = G * C
 
     tgt2, sizes_out, info = pl.pallas_call(
-        _lazy_stream_kernel,
+        functools.partial(_lazy_stream_kernel, track_veto),
         out_shape=(
-            jax.ShapeDtypeStruct((nb, B), jnp.int32),
-            jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((3,), jnp.int32),
+            _sds((nb, B), jnp.int32, zp3, auxp, sizes),
+            _sds((1, k_pad), jnp.float32, zp3, auxp, sizes),
+            _sds((4,), jnp.int32, zp3, auxp, sizes),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # zp3
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # auxp
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # assignp
+            pl.BlockSpec(memory_space=pl.ANY),      # auxp3
+            pl.BlockSpec(memory_space=pl.ANY),      # assignp3
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sizes
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # i0
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (i0, n)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # log_denom
         ],
         out_specs=(
@@ -638,22 +683,40 @@ def pallas_lazy_segment_stream(zp3, auxp, assignp, sizes, i0, log_denom, *,
         ),
         scratch_shapes=[
             pltpu.VMEM(zp3.shape[1:], jnp.float32),
+            pltpu.SMEM((1, C), jnp.float32),
+            pltpu.SMEM((1, C), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(
         zp3,
-        auxp.astype(jnp.float32),
-        assignp.astype(jnp.int32),
+        jnp.pad(auxp.astype(jnp.float32), (0, npad - n)).reshape(G, 1, C),
+        jnp.pad(assignp.astype(jnp.int32), (0, npad - n)).reshape(G, 1, C),
         sizes.astype(jnp.float32),
-        jnp.asarray(i0, jnp.int32)[None],
+        jnp.stack([jnp.asarray(i0, jnp.int32), jnp.int32(n)]),
         jnp.asarray(log_denom, jnp.float32)[None, None],
     )
     return tgt2.reshape(-1)[:n], sizes_out, info
 
 
-def stream_chunk_rows(k_max: int, budget_bytes: int = 8 * 1024 * 1024) -> int:
-    """Chunk row count for the streaming kernel: fill ~half of VMEM. A
-    multiple of the 128-cell batch size so batches never straddle chunks."""
+def stream_chunk_rows(k_max: int, n: int = 0,
+                      budget_bytes: int = 12 * 1024 * 1024) -> int:
+    """Chunk row count for the streaming kernel: fill VMEM left over after
+    the [nb, B]-shaped target output (4 bytes/cell; aux/assign are
+    SMEM-chunk-staged and cost no VMEM). A multiple of the 128-cell batch
+    size so batches never straddle chunks."""
     k_pad = _round_up(k_max, 128)
-    return max(_LANE, _round_up(budget_bytes // (4 * k_pad), _LANE))
+    left = max(budget_bytes - 4 * _round_up(max(n, 1), _LANE),
+               4 * _LANE * k_pad)
+    return max(_LANE, _round_up(min(left, 8 * 1024 * 1024) // (4 * k_pad),
+                                _LANE))
+
+
+def stream_vmem_budget_bytes(n: int, k_max: int) -> int:
+    """VMEM the streaming kernel needs resident: the Z chunk buffer plus the
+    per-position target array (4 bytes per padded cell)."""
+    k_pad = _round_up(k_max, 128)
+    return 4 * stream_chunk_rows(k_max, n) * k_pad \
+        + 4 * _round_up(n, _LANE)

@@ -189,8 +189,15 @@ def test_kernel_tier_resolution(monkeypatch):
     assert gibbs.resolve_stream(cfg_for(50000, 128))
     # ... but the eager kernel is VMEM-bound and unavailable there.
     assert not gibbs.pallas_available(cfg_for(50000, 128), eager=True)
-    # Beyond the measured SMEM cell cap: no fused sweep at all.
-    assert not gibbs.pallas_available(cfg_for(gibbs.SMEM_CELL_CAP + 8, 128))
+    # The streaming kernel chunk-stages aux/assign through SMEM and keeps
+    # only the target window in VMEM since round 4, so the old 98,304-cell
+    # SMEM ceiling is gone...
+    assert gibbs.pallas_available(cfg_for(gibbs.SMEM_CELL_CAP + 8, 128))
+    assert gibbs.pallas_available(cfg_for(262144, 128))
+    assert gibbs.pallas_available(cfg_for(1000000, 128))
+    # ... and the new ceiling is the streaming VMEM accounting (~3.4M cells
+    # at k_pad=128: 4 bytes/cell of targets + the minimum chunk buffer).
+    assert not gibbs.pallas_available(cfg_for(3600000, 128))
     # The restricted-scan kernel caps independently (scan fallback above).
     assert rg_pallas_available(n_cells=RG_SMEM_CELL_CAP)
     assert not rg_pallas_available(n_cells=RG_SMEM_CELL_CAP + 1)
@@ -203,7 +210,7 @@ def test_stream_chunked_matches_scan(monkeypatch):
     mid-chunk early exit, and i0 landing inside a later chunk."""
     import bnpc_tpu.ops.pallas_gibbs as pg
 
-    monkeypatch.setattr(pg, "stream_chunk_rows", lambda k, **kw: 8)
+    monkeypatch.setattr(pg, "stream_chunk_rows", lambda k, *a, **kw: 8)
 
     data, _ = make_problem(n=28, m=12, k_clones=2, seed=5)
     cfg = ModelConfig(n_cells=28, n_muts=12, k_max=28, p=0.25, q=0.25,
