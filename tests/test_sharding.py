@@ -161,3 +161,56 @@ def test_chains_mesh_sequential_matches_vmap_body():
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(np.asarray(st_s.params),
                                np.asarray(st_v.params), rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_lazy_kernel_matches_sharded_scan():
+    """The lazy Pallas sweep under a SHARDED MutAxis (interpret mode): Z and
+    birth columns are psummed BEFORE the kernel, so inside the same
+    shard_map the kernel sweep must match the scan sweep bit-for-bit (they
+    consume identical hoisted randomness and identical psummed matrices).
+    Covers both lazy tiers (resident and chunk-streaming)."""
+    from bnpc_tpu.models.gibbs import gibbs_sweep
+
+    data, _ = make_problem(n=24, m=32, k_clones=2, seed=3)
+    cfg = ModelConfig(n_cells=24, n_muts=32, k_max=24, p=0.25, q=0.25,
+                      fp=0.01, fn=0.1)
+    packed = pack_data(data)
+    mesh = sharded.make_mesh(1, 8)
+
+    def run(impl, seed):
+        state = init_state(jax.random.key(seed), cfg, packed, mode="random")
+        key = jax.random.key(100 + seed)
+
+        def body(st, data_local):
+            ax = MutAxis(sharded.MUTS)
+            return gibbs_sweep(key, st, data_local, cfg, ax=ax, impl=impl,
+                               interpret=True)
+
+        specs = jax.tree.map(
+            lambda s: P(*[a for a in s if a != sharded.CHAINS]),
+            sharded.state_specs(), is_leaf=lambda x: isinstance(x, P))
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(specs, sharded.data_specs()),
+            out_specs=specs,
+        )
+        return fn(state, packed)
+
+    births = 0
+    for seed in range(4):
+        want = run("scan_cond", seed)
+        for impl in ("pallas", "pallas_stream"):
+            got = run(impl, seed)
+            np.testing.assert_array_equal(np.asarray(want.assignment),
+                                          np.asarray(got.assignment))
+            np.testing.assert_array_equal(np.asarray(want.cluster_size),
+                                          np.asarray(got.cluster_size))
+            live = np.asarray(got.cluster_size) > 0
+            np.testing.assert_allclose(np.asarray(want.params)[live],
+                                       np.asarray(got.params)[live],
+                                       rtol=1e-6)
+            check_state_invariants(got, cfg)
+        start = init_state(jax.random.key(seed), cfg, packed, mode="random")
+        was_free = np.asarray(start.cluster_size) == 0
+        births += int((was_free & (np.asarray(want.cluster_size) > 0)).sum())
+    assert births >= 1, "no birth exercised the sharded patch path"
