@@ -162,6 +162,14 @@ def parse_args(argv=None):
                           "axis split 4-ways inside each), or 'auto' for all "
                           "devices on the chain axis. Default: chain axis "
                           "over all devices when chains > 1.")
+    tpu.add_argument("--blocked_gibbs", type=int, default=0,
+                     help="APPROXIMATE blocked Gibbs sweep: decide N cells "
+                          "per frozen-size block instead of strictly "
+                          "sequentially (0 = exact reference semantics, "
+                          "default). Blocks containing a cluster birth are "
+                          "replayed exactly. Speeds up very large cell "
+                          "counts; validated distributionally in "
+                          "tests/test_blocked.py.")
     tpu.add_argument("--coupled_moves", action="store_true", default=False,
                      help="Share the per-step move-type selection across "
                           "vmapped chains (~2x multi-chain throughput when "
@@ -217,6 +225,7 @@ def build_mcmc_config(args) -> MCMCConfig:
         sm_steps=args.split_merge_steps,
         fix_assign=bool(args.fixed_assignment),
         trace_k=max(args.trace_clusters, 0),
+        gibbs_block=max(args.blocked_gibbs, 0),
         coupled_moves=args.coupled_moves,
     )
 
