@@ -35,7 +35,7 @@ def make_data(n, m, clones=20, seed=0):
     return data
 
 
-def measure(n, m, k_max, timed_steps=64, reps=3):
+def measure(n, m, k_max, timed_steps=64, reps=3, gibbs_block=0):
     import jax
 
     from bnpc_tpu.config import MCMCConfig, ModelConfig
@@ -54,7 +54,7 @@ def measure(n, m, k_max, timed_steps=64, reps=3):
         fp=0.01, fn=0.2, learn_errors=True, fp_sd=0.01, fn_sd=0.1,
     )
     mcmc_cfg = MCMCConfig(sm_prob=0.33, dpa_prob=0.25, error_prob=0.25,
-                          sm_steps=3)
+                          sm_steps=3, gibbs_block=gibbs_block)
     packed = pack_data(make_data(n, m))
     runner = MCMCRunner(cfg, mcmc_cfg, packed, block_size=16)
 
@@ -72,7 +72,9 @@ def measure(n, m, k_max, timed_steps=64, reps=3):
         jax.block_until_ready(rows.ml)
         rates.append(timed_steps / (time.perf_counter() - t0))
 
-    if pallas_available(cfg):
+    if gibbs_block:
+        impl = f"blocked[{gibbs_block}]"
+    elif pallas_available(cfg):
         impl = "pallas_stream" if resolve_stream(cfg) else "pallas"
     else:
         impl = "scan"
@@ -92,6 +94,9 @@ def main():
     ap.add_argument("--configs", type=str, default=None,
                     help="comma list of NxMxK, e.g. 20000x200x128")
     ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--blocked", type=int, default=0,
+                    help="gibbs_block for the approximate blocked sweep "
+                         "(0 = exact)")
     args = ap.parse_args()
 
     configs = DEFAULT_CONFIGS
@@ -100,7 +105,8 @@ def main():
                    for c in args.configs.split(",")]
 
     for n, m, k in configs:
-        print(json.dumps(measure(n, m, k, timed_steps=args.steps)),
+        print(json.dumps(measure(n, m, k, timed_steps=args.steps,
+                                 gibbs_block=args.blocked)),
               flush=True)
 
 
