@@ -30,6 +30,13 @@ def host_fingerprint() -> str:
     LLVM tuning features (e.g. +prefer-no-gather, seen mismatching r3) are
     derived from the CPU MODEL, so hosts with identical flag sets but
     different models still produce incompatible AOT code.
+
+    It ALSO hashes numpy's runtime-CPUID feature dict: on this virtualized
+    host /proc/cpuinfo stayed byte-identical across a migration while the
+    CPUID-visible feature set (what LLVM actually compiles against) changed
+    — observed r4 as cpu_aot_loader feature-mismatch warnings followed by a
+    suite segfault under an unchanged hw-* scope. numpy's dispatcher reads
+    CPUID directly, so it tracks the truth /proc/cpuinfo missed.
     """
     keys = ("vendor_id", "cpu family", "model", "model name", "stepping",
             "flags")
@@ -42,20 +49,47 @@ def host_fingerprint() -> str:
                     parts.append(line.strip())
                 if k == "flags":
                     break  # first core is enough
-        if parts:
-            import hashlib
-
-            return hashlib.sha1("\n".join(parts).encode()).hexdigest()[:10]
     except OSError:
         pass
+    try:
+        from numpy._core._multiarray_umath import __cpu_features__
+
+        parts.append(",".join(
+            sorted(k for k, v in __cpu_features__.items() if v)))
+    except Exception:
+        pass
+    if parts:
+        import hashlib
+
+        return hashlib.sha1("\n".join(parts).encode()).hexdigest()[:10]
     return "nofp"
+
+
+def _platform_tag() -> str:
+    """Coarse platform tag for the cache scope. CPU-forced processes (the
+    test suite) and TPU processes get SEPARATE directories: a CPU suite
+    reading its own entries while a concurrent TPU benchmark writes into
+    the same directory segfaulted twice in compilation_cache
+    .get_executable_and_time (r4) — disjoint trees make cross-platform
+    concurrency structurally impossible. Resolved WITHOUT initializing
+    backends: only explicit platform forcing is inspected."""
+    try:
+        import jax
+
+        forced = jax.config.jax_platforms or os.environ.get(
+            "JAX_PLATFORMS", "")
+    except Exception:
+        forced = os.environ.get("JAX_PLATFORMS", "")
+    name = (forced or "dev").split(",")[0].strip() or "dev"
+    return name
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     import jax
 
     cache_dir = cache_dir or os.environ.get("BNPC_TPU_CACHE", _DEFAULT_DIR)
-    cache_dir = os.path.join(cache_dir, "hw-" + host_fingerprint())
+    cache_dir = os.path.join(
+        cache_dir, _platform_tag() + "-" + host_fingerprint())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
