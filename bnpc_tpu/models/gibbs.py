@@ -438,9 +438,20 @@ def _blocked_impl(state, data, cfg, ax, perm, gumbel, k_beta, new_post,
     and at the reference's 100x100 example scale (BASELINE.md).
 
     Pure XLA (no Pallas): runs everywhere — CPU, TPU, sharded MutAxis, and
-    under vmap (where the birth-replay lax.cond lowers to running both
-    branches, costing the scan rate; the intended regime is unbatched
-    large-n chains where the exact kernels are latency-bound).
+    under vmap (where the birth-segmented while_loop runs until every batch
+    element converges, costing the scan rate; the intended regime is
+    unbatched large-n chains where the exact kernels are latency-bound).
+
+    Structure (birth-segmented, like the lazy Pallas sweep): one lax.scan
+    sweeps ALL blocks with the [G, B, k] Z matrix fed as read-only scan
+    inputs — nothing n-sized rides the carry, so no per-block carry copy
+    (an earlier z-in-carry formulation copied the whole Z matrix every
+    block: 131,072x200 ran no faster at block=512 than the exact kernel).
+    The scan stops applying at the FIRST block whose frozen pass contains a
+    birth candidate; a while_loop then replays that one block exactly
+    (per-cell sequential, newborn Z columns materialized), and re-runs the
+    scan from the next block. Births/sweep ~= 0 at stationarity, so the
+    steady state is exactly one scan pass.
     """
     n, k_max = cfg.n_cells, cfg.k_max
     B = max(1, int(block))
@@ -452,35 +463,80 @@ def _blocked_impl(state, data, cfg, ax, perm, gumbel, k_beta, new_post,
     aux = new_post + gumbel[:, k_max]
 
     # Visit-order staging: one gather per sweep (same trick as the
-    # streaming kernel), so per-block reads are contiguous dynamic slices.
-    z_v = jnp.pad(jnp.take(z0, perm, axis=0), [(0, nB - n), (0, 0)])
-    aux_v = jnp.pad(jnp.take(aux, perm), (0, nB - n),
-                    constant_values=NEG_INF)
-    old_v = jnp.pad(jnp.take(state.assignment, perm).astype(jnp.int32),
-                    (0, nB - n))
-    cell_v = jnp.pad(perm.astype(jnp.int32), (0, nB - n))
-    act_v = jnp.arange(nB) < n
+    # streaming kernel), so per-block reads are contiguous scan slices.
+    z3 = jnp.pad(jnp.take(z0, perm, axis=0),
+                 [(0, nB - n), (0, 0)]).reshape(G, B, k_max)
+    aux3 = jnp.pad(jnp.take(aux, perm), (0, nB - n),
+                   constant_values=NEG_INF).reshape(G, B)
+    old3 = jnp.pad(jnp.take(state.assignment, perm).astype(jnp.int32),
+                   (0, nB - n)).reshape(G, B)
+    cell3 = jnp.pad(perm.astype(jnp.int32), (0, nB - n)).reshape(G, B)
+    act3 = (jnp.arange(nB) < n).reshape(G, B)
     iota_k = jnp.arange(k_max)
+    iota_g = jnp.arange(G)
 
-    def exact_block(base, sizes, params, z_v, tgt0):
+    def do_pass(g0, sizes, z3):
+        """Frozen-size pass over all blocks: applies block decisions from
+        g0 up to (exclusive) the first birth block; returns its index (G if
+        none) and the per-block targets (valid on the applied range)."""
+
+        def block_step(carry, xs):
+            sizes, bflag, bblock, veto = carry
+            g, zb, auxb, oldb, actb = xs
+
+            # All cells of the block at once ([B, k] VPU work instead of
+            # B serial [1, k] steps), against sizes frozen at block entry
+            # (minus each cell's own membership).
+            oh_old = (oldb[:, None] == iota_k[None, :]) & actb[:, None]
+            sizes_excl = sizes[None, :] - oh_old.astype(sizes.dtype)
+            live = sizes_excl > 0
+            prior = jnp.log(
+                jnp.maximum(sizes_excl, 1).astype(jnp.float32)) - log_denom
+            post_old = jnp.where(live, zb + prior, NEG_INF)
+            best = jnp.max(post_old, axis=1)
+            has_free = jnp.any(~live, axis=1)
+            cand = (auxb > best) & actb
+            choice = jnp.argmax(post_old, axis=1).astype(jnp.int32)
+
+            active = (g >= g0) & (~bflag)
+            birth_here = active & jnp.any(cand & has_free)
+            apply = active & (~birth_here)
+
+            tgt = jnp.where(actb, choice, oldb)
+            oh_new = (tgt[:, None] == iota_k[None, :]) & actb[:, None]
+            d = oh_new.astype(sizes.dtype).sum(0) \
+                - oh_old.astype(sizes.dtype).sum(0)
+            sizes = jnp.where(apply, sizes + d, sizes)
+            veto = veto | (apply & jnp.any(cand & ~has_free))
+            bblock = jnp.where(birth_here, jnp.minimum(bblock, g), bblock)
+            bflag = bflag | birth_here
+            return (sizes, bflag, bblock, veto), tgt
+
+        (sizes, bflag, bblock, veto), tgt3 = jax.lax.scan(
+            block_step,
+            (sizes, jnp.bool_(False), jnp.int32(G), jnp.bool_(False)),
+            (iota_g, z3, aux3, old3, act3))
+        return sizes, jnp.where(bflag, bblock, jnp.int32(G)), veto, tgt3
+
+    def exact_block(g, sizes, params, z3):
         """Sequential exact replay of one block — the _scan_impl body over
-        the block's cells, with z carried in visit order."""
+        the block's cells; newborn Z columns are materialized into z3 so
+        later passes see them."""
 
         def body(j, c):
-            sizes, params, z_v, tgt, veto = c
-            pp = base + j
-            act = act_v[pp]
-            old = old_v[pp]
+            sizes, params, z3, tgt, veto = c
+            act = act3[g, j]
+            old = old3[g, j]
             delta = jnp.where(act, 1, 0)
             sizes = sizes.at[old].add(-delta)
             live = sizes > 0
             prior = jnp.log(
                 jnp.maximum(sizes, 1).astype(jnp.float32)) - log_denom
-            post_old = jnp.where(live, z_v[pp] + prior, NEG_INF)
+            post_old = jnp.where(live, z3[g, j] + prior, NEG_INF)
             has_free = jnp.any(~live)
-            post_new = jnp.where(has_free, aux_v[pp], NEG_INF)
+            post_new = jnp.where(has_free, aux3[g, j], NEG_INF)
             veto = veto | (act & (~has_free)
-                           & (aux_v[pp] > jnp.max(post_old)))
+                           & (aux3[g, j] > jnp.max(post_old)))
             choice = jnp.argmax(
                 jnp.concatenate([post_old, post_new[None]])
             ).astype(jnp.int32)
@@ -489,69 +545,53 @@ def _blocked_impl(state, data, cfg, ax, perm, gumbel, k_beta, new_post,
             target = jnp.where(choice == k_max, free, choice)
             target = jnp.where(act, target, old)
 
-            def birth(params, z_v):
-                cell = cell_v[pp]
+            def birth(params, z3):
+                cell = cell3[g, j]
                 theta = fresh_row(k_beta, cell, data, cfg)
                 f1r, f0r = lk.log_prob_tables(theta, state.fp, state.fn)
                 col = lk.ll_col(f1r, f0r, data.xm, data.xm0, ax)
-                col_v = jnp.pad(jnp.take(col + jnp.take(gumbel, free,
-                                                        axis=1), perm),
-                                (0, nB - n))
+                col3 = jnp.pad(jnp.take(col + jnp.take(gumbel, free,
+                                                       axis=1), perm),
+                               (0, nB - n)).reshape(G, B)
                 return params.at[free].set(theta), \
-                    z_v.at[:, free].set(col_v)
+                    z3.at[:, :, free].set(col3)
 
-            params, z_v = jax.lax.cond(
-                is_new, birth, lambda p_, z_: (p_, z_), params, z_v)
+            params, z3 = jax.lax.cond(
+                is_new, birth, lambda p_, z_: (p_, z_), params, z3)
             sizes = sizes.at[target].add(delta)
             tgt = tgt.at[j].set(target)
-            return (sizes, params, z_v, tgt, veto)
+            return (sizes, params, z3, tgt, veto)
 
         return jax.lax.fori_loop(
-            0, B, body, (sizes, params, z_v, tgt0, jnp.bool_(False)))
+            0, B, body,
+            (sizes, params, z3, old3[g], jnp.bool_(False)))
 
-    def block_step(carry, b):
-        sizes, params, z_v, veto = carry
-        base = b * B
-        zb = jax.lax.dynamic_slice(z_v, (base, 0), (B, k_max))
-        auxb = jax.lax.dynamic_slice(aux_v, (base,), (B,))
-        oldb = jax.lax.dynamic_slice(old_v, (base,), (B,))
-        actb = jax.lax.dynamic_slice(act_v, (base,), (B,))
+    # First pass, then one while iteration per birth BLOCK (~0 at
+    # stationarity): replay the birth block exactly, rescan from the next.
+    sizes0, bblock0, veto0, tgt30 = do_pass(jnp.int32(0),
+                                            state.cluster_size, z3)
+    mask0 = iota_g < bblock0
+    tgt3 = jnp.where(mask0[:, None], tgt30, old3)
 
-        # Frozen-size pass, all cells of the block at once ([B, k] VPU work
-        # instead of B serial [1, k] steps).
-        oh_old = (oldb[:, None] == iota_k[None, :]) & actb[:, None]
-        sizes_excl = sizes[None, :] - oh_old.astype(sizes.dtype)
-        live = sizes_excl > 0
-        prior = jnp.log(
-            jnp.maximum(sizes_excl, 1).astype(jnp.float32)) - log_denom
-        post_old = jnp.where(live, zb + prior, NEG_INF)
-        best = jnp.max(post_old, axis=1)
-        has_free = jnp.any(~live, axis=1)
-        cand = (auxb > best) & actb
-        any_birth = jnp.any(cand & has_free)
-        choice = jnp.argmax(post_old, axis=1).astype(jnp.int32)
+    def w_cond(c):
+        return c[0] < G
 
-        def fast(args):
-            sizes, params, z_v = args
-            tgt = jnp.where(actb, choice, oldb)
-            oh_new = (tgt[:, None] == iota_k[None, :]) & actb[:, None]
-            d = oh_new.astype(sizes.dtype).sum(0) \
-                - oh_old.astype(sizes.dtype).sum(0)
-            return sizes + d, params, z_v, tgt, \
-                jnp.any(cand & ~has_free)
+    def w_body(c):
+        bblock, sizes, params, z3, tgt3, veto = c
+        sizes, params, z3, tgt_b, veto_b = exact_block(
+            bblock, sizes, params, z3)
+        tgt3 = jax.lax.dynamic_update_index_in_dim(tgt3, tgt_b, bblock, 0)
+        g0 = bblock + 1
+        sizes, bnext, veto_p, tgt3n = do_pass(g0, sizes, z3)
+        mask = (iota_g >= g0) & (iota_g < bnext)
+        tgt3 = jnp.where(mask[:, None], tgt3n, tgt3)
+        return (bnext, sizes, params, z3, tgt3, veto | veto_b | veto_p)
 
-        def slow(args):
-            sizes, params, z_v = args
-            return exact_block(base, sizes, params, z_v, oldb)
+    _, sizes, params, _, tgt3, veto = jax.lax.while_loop(
+        w_cond, w_body,
+        (bblock0, sizes0, state.params, z3, tgt3, veto0))
 
-        sizes, params, z_v, tgt, vet = jax.lax.cond(
-            any_birth, slow, fast, (sizes, params, z_v))
-        return (sizes, params, z_v, veto | vet), tgt
-
-    init = (state.cluster_size, state.params, z_v, jnp.bool_(False))
-    (sizes, params, _, veto), tgt_blocks = jax.lax.scan(
-        block_step, init, jnp.arange(G))
-    tgt_v = tgt_blocks.reshape(-1)[:n]
+    tgt_v = tgt3.reshape(-1)[:n]
     # Sort-scatter back to cell order (see _pallas_lazy_impl).
     _, assignment = jax.lax.sort((perm.astype(jnp.int32), tgt_v), num_keys=1)
     return state._replace(
