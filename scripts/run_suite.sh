@@ -15,11 +15,18 @@
 # crashed file is retried once in a fresh process instead of killing the
 # whole suite. Ordinary test failures are NOT retried.
 #
-# Usage: scripts/run_suite.sh [extra pytest args...]
+# Usage: scripts/run_suite.sh [--tpu] [extra pytest args...]
+#   --tpu  additionally run the TPU-gated hardware parity tests
+#          (BNPC_TPU_TESTS=1 tests/test_tpu_hardware.py) on the real chip
+#          after the CPU suite. Requires a reachable TPU and no concurrent
+#          TPU process.
 set -u
 cd "$(dirname "$0")/.."
+run_tpu=0
+if [ "${1:-}" = "--tpu" ]; then run_tpu=1; shift; fi
 args=("$@")
-declare -a failed crashed
+failed=()
+crashed=()
 pass=0
 for f in tests/test_*.py; do
   for attempt in 1 2; do
@@ -37,8 +44,20 @@ for f in tests/test_*.py; do
     fi
   done
 done
+if [ $run_tpu -eq 1 ]; then
+  echo
+  echo "== running TPU-gated hardware parity tests (real chip)"
+  BNPC_TPU_TESTS=1 timeout 3600 python -m pytest tests/test_tpu_hardware.py \
+    -q -p no:cacheprovider "${args[@]}"
+  rc=$?
+  if [ $rc -eq 0 ] || [ $rc -eq 5 ]; then
+    pass=$((pass + 1))
+  else
+    failed+=("tests/test_tpu_hardware.py[tpu]")
+  fi
+fi
 echo
 echo "== suite summary: $pass file(s) green"
-[ ${#failed[@]:-0} -gt 0 ] && echo "== FAILED: ${failed[*]}"
-[ ${#crashed[@]:-0} -gt 0 ] && echo "== CRASHED twice: ${crashed[*]}"
-[ ${#failed[@]:-0} -eq 0 ] && [ ${#crashed[@]:-0} -eq 0 ]
+if [ ${#failed[@]} -gt 0 ]; then echo "== FAILED: ${failed[*]}"; fi
+if [ ${#crashed[@]} -gt 0 ]; then echo "== CRASHED twice: ${crashed[*]}"; fi
+[ ${#failed[@]} -eq 0 ] && [ ${#crashed[@]} -eq 0 ]
