@@ -3,10 +3,10 @@
 
 Since round 4 the streaming sweep kernel keeps NO [n]-sized SMEM arrays
 (aux/assign/targets ride VMEM [nb, 128] rows — the ceiling is the VMEM
-accounting in ops/pallas_gibbs.py::stream_vmem_budget_bytes) and the
-split-merge restricted-scan kernel keeps one (the fused count log-table,
-4 bytes/cell — RG_SMEM_CELL_CAP in models/splitmerge.py). This probe binds
-those constants to measured reality:
+accounting in ops/pallas_gibbs.py::stream_vmem_budget_bytes), and since
+round 5 neither does the split-merge restricted-scan kernel (the fused
+count log-table is window-staged per chunk; constant SMEM, no cell cap).
+This probe binds those claims to measured reality:
 
   1. compiles + runs pallas_lazy_segment_stream at a ladder of cell counts
      with a NumPy oracle check of the full segment semantics (no-birth and

@@ -513,30 +513,34 @@ def _reverse_split_prob(key, ctx, rgs: _RGState, state, data, cfg,
 # ---------------------------------------------------------------------------
 
 
-# The rg kernel keeps ONE [n]-sized array in scalar memory (the fused count
-# log-table, 4 bytes/cell) since round 4 — its dz/launch/output streams are
-# visit-order sequential and chunk-staged through HBM DMA (ops/pallas_rg.py).
-# Measured on v5e: 196,608 cells (~810 KB with the chunk buffers) compiles
-# and runs, 262,144 (~1.07 MB) does not (benchmarks/smem_probe.py; the
-# round-3 five-array kernel capped at 50,000). Beyond the cap split-merge
-# falls back to the chunked scan while the streaming sweep kernel keeps
-# running.
-RG_SMEM_CELL_CAP = 196608
+# The rg kernel keeps NO [n]-sized array in scalar memory since round 5:
+# its dz/launch/output streams are visit-order sequential and chunk-staged
+# through HBM DMA, and the fused count log-table is window-staged per chunk
+# (the side-1 count moves by <= 1 per cell, so a 2C-wide window covers every
+# lookup — ops/pallas_rg.py). SMEM usage is constant (~40 KB), so the old
+# cell caps are gone (round 4: 196,608 with the whole table in SMEM;
+# round 3: 50,000 with five [n] SMEM arrays). Verified bit-exact on v5e at
+# 1,048,576 cells (benchmarks/smem_probe.py).
 
 
 def rg_pallas_available(ax: MutAxis = _NO_AXIS, n_cells: int = 0) -> bool:
-    """Whether the scalar-SMEM restricted-scan kernel can run here: TPU
-    backend, an unsharded mutation axis (the kernel is per-chip serial
-    SMEM work — it has no collective story, and under vmap the batched SMEM
-    state does not fit the scalar formulation), and the move's [n] scalar
-    arrays fit SMEM."""
+    """Whether the restricted-scan kernel can run here: a TPU backend.
+
+    There is no cell-count cap (round 5 — SMEM usage is constant, see the
+    note above; ``n_cells`` is kept for call-site symmetry). A sharded
+    MutAxis is fine too (round 5): every kernel input — dz from the psummed
+    [n, 2] launch log-lik, the launch sides, the count log-table and the
+    scalar counts — is replicated across the mutation shards before the
+    kernel (exactly like the lazy/stream sweep kernels' psummed Z), so each
+    chip runs the identical serial scalar scan and produces the identical
+    side vector. Only vmapped chains are excluded (the batched SMEM state
+    does not fit the scalar formulation — split_merge falls back with a
+    warning)."""
     import os
 
     if os.environ.get("BNPC_TPU_PALLAS", "") == "0":
         return False
-    if n_cells > RG_SMEM_CELL_CAP:
-        return False
-    return not ax.sharded and jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu"
 
 
 def split_merge(key, state: CRPState, data: PackedData, cfg: ModelConfig,

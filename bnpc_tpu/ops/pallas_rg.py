@@ -27,12 +27,18 @@ vector ops, no matmuls, no transcendentals:
     ``s_count`` positions and co-sorts dz and the launch sides), so the
     kernel consumes and produces purely SEQUENTIAL streams.
 
-Sequential streams mean the [n]-sized arrays need not live in scalar
-memory: dz and the launch sides stay in HBM, staged chunk-by-chunk into
-small SMEM buffers by leading-dim DMA, and the chosen sides are staged back
-out the same way. The only n-sized SMEM array left is the fused log table
-(4 bytes/cell — the round-3 kernel kept five such arrays and capped at
-50,000 cells; this one compiles at 196,608, benchmarks/smem_probe.py).
+Sequential streams mean NO [n]-sized array lives in scalar memory: dz and
+the launch sides stay in HBM, staged chunk-by-chunk into small SMEM buffers
+by leading-dim DMA, and the chosen sides are staged back out the same way.
+The fused log table is staged the same way (round 5): the side-1 count
+moves by at most 1 per visited cell, so within a C-cell chunk every lookup
+index sits inside the 2C-wide window [count1 - C, count1 + C) of the
+chunk-entry count — one dynamic-offset DMA per chunk stages exactly that
+window. SMEM usage is therefore CONSTANT (~40 KB at C=2048) regardless of
+n; the round-4 kernel kept the whole [n+2] table in SMEM and capped at
+196,608 cells (the round-3 five-array kernel at 50,000). The kernel's
+ceiling is now just HBM (benchmarks/smem_probe.py verifies bit-exactness
+against a sequential NumPy replay at 262,144 and 1M+ cells).
 
 The chosen-probability accumulation of the final (trans_prob) scan is NOT
 done in-kernel: given the launch and final side vectors the count evolution
@@ -62,30 +68,45 @@ _CHUNK = 2048
 def _rg_kernel(
     dzv3_ref,     # [G, 1, C] f32, ANY/HBM — decision margins, VISIT order
     lauv3_ref,    # [G, 1, C] i32, ANY/HBM — launch sides, visit order
-    dtab_ref,     # [n+2] f32, SMEM — dtab[s1] = log(s1+1) - log(n_move-s1-2)
+    dtab_ref,     # [1, len_d] f32, ANY/HBM — dtab[s1] = log(s1+1)-log(n_move-s1-2)
     scal_ref,     # [2] i32, SMEM — (s_count, count1_init)
     outv3_ref,    # [G, 1, C] i32, ANY/HBM — chosen sides by visit position;
     #               only chunks overlapping [0, s_count) are written
     dzbuf,        # [1, C] f32, SMEM scratch
     laubuf,       # [1, C] i32, SMEM scratch
     outbuf,       # [1, C] i32, SMEM scratch
-    dsem, lsem, osem,
+    dtabbuf,      # [1, W] f32, SMEM scratch — staged table window, W = 2C+128
+    dsem, lsem, osem, tsem,
 ):
     C = dzbuf.shape[1]
+    W = dtabbuf.shape[1]
+    len_d = dtab_ref.shape[1]
     s_count = scal_ref[0]
 
     def chunk(g, count1):
+        # The side-1 count moves by <= 1 per cell, so within this chunk every
+        # lookup index s1 = count1' - cur stays in [count1 - C, count1 + C).
+        # Stage that window of the table; the start is rounded down to a
+        # lane-tile multiple (the same aligned dynamic-start minor-dim slice
+        # as the sweep kernel's birth column DMA) — W = 2C + 128 keeps
+        # coverage.
+        w = pl.multiple_of(
+            jnp.clip(jax.lax.div(count1 - C, 128) * 128, 0, len_d - W), 128)
+        t_dma = pltpu.make_async_copy(
+            dtab_ref.at[:, pl.ds(w, W)], dtabbuf, tsem)
+        t_dma.start()
         d_dma = pltpu.make_async_copy(dzv3_ref.at[g], dzbuf, dsem)
         d_dma.start()
         l_dma = pltpu.make_async_copy(lauv3_ref.at[g], laubuf, lsem)
         l_dma.start()
+        t_dma.wait()
         d_dma.wait()
         l_dma.wait()
 
         def body(i, c1):
             cur = laubuf[0, i]
             s1 = c1 - cur
-            new = (dzbuf[0, i] + dtab_ref[s1] > 0.0).astype(jnp.int32)
+            new = (dzbuf[0, i] + dtabbuf[0, s1 - w] > 0.0).astype(jnp.int32)
             outbuf[0, i] = new
             return s1 + new
 
@@ -114,6 +135,11 @@ def rg_scan(dz_v, lau_v, dtab, s_count, count1, *, interpret: bool = False):
     C = min(_CHUNK, -(-n // 128) * 128)
     G = -(-n // C)
     pad = (0, G * C - n)
+    # The staged window [count1 - C, count1 + C) can reach index
+    # count1 + C - 1 <= n + C, and its 128-aligned start can sit anywhere in
+    # [0, n + 2); pad the table so every clipped window fits inside it.
+    W = 2 * C + 128
+    len_d = -(-(dtab.shape[0] + W) // 128) * 128
     scal = jnp.stack([s_count, count1]).astype(jnp.int32)
     out3 = pl.pallas_call(
         _rg_kernel,
@@ -121,7 +147,7 @@ def rg_scan(dz_v, lau_v, dtab, s_count, count1, *, interpret: bool = False):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # dz_v chunks
             pl.BlockSpec(memory_space=pl.ANY),      # lau_v chunks
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # dtab
+            pl.BlockSpec(memory_space=pl.ANY),      # dtab (window-staged)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -129,6 +155,8 @@ def rg_scan(dz_v, lau_v, dtab, s_count, count1, *, interpret: bool = False):
             pltpu.SMEM((1, C), jnp.float32),
             pltpu.SMEM((1, C), jnp.int32),
             pltpu.SMEM((1, C), jnp.int32),
+            pltpu.SMEM((1, W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
@@ -137,7 +165,8 @@ def rg_scan(dz_v, lau_v, dtab, s_count, count1, *, interpret: bool = False):
     )(
         jnp.pad(dz_v.astype(jnp.float32), pad).reshape(G, 1, C),
         jnp.pad(lau_v.astype(jnp.int32), pad).reshape(G, 1, C),
-        dtab.astype(jnp.float32),
+        jnp.pad(dtab.astype(jnp.float32),
+                (0, len_d - dtab.shape[0]))[None, :],
         scal,
     )
     return out3.reshape(-1)[:n]

@@ -167,13 +167,12 @@ def test_pallas_saturated_capacity_matches_scan():
 
 def test_kernel_tier_resolution(monkeypatch):
     """Kernel tiering on a TPU backend: resident lazy kernel while Z fits
-    VMEM, streaming kernel beyond it, scan above the measured SMEM cell
-    cap; the rg kernel caps at its own (five-array) SMEM bound."""
+    VMEM, streaming kernel beyond it, scan above the streaming VMEM budget;
+    the rg kernel is cap-free (window-staged table since round 5)."""
     import jax as _jax
 
     from bnpc_tpu.models import gibbs
-    from bnpc_tpu.models.splitmerge import (RG_SMEM_CELL_CAP,
-                                            rg_pallas_available)
+    from bnpc_tpu.models.splitmerge import rg_pallas_available
 
     monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
 
@@ -198,9 +197,13 @@ def test_kernel_tier_resolution(monkeypatch):
     # ... and the new ceiling is the streaming VMEM accounting (~3.4M cells
     # at k_pad=128: 4 bytes/cell of targets + the minimum chunk buffer).
     assert not gibbs.pallas_available(cfg_for(3600000, 128))
-    # The restricted-scan kernel caps independently (scan fallback above).
-    assert rg_pallas_available(n_cells=RG_SMEM_CELL_CAP)
-    assert not rg_pallas_available(n_cells=RG_SMEM_CELL_CAP + 1)
+    # The restricted-scan kernel is cap-free (constant SMEM since round 5)
+    # and runs under a sharded MutAxis too.
+    from bnpc_tpu.parallel.axis import MutAxis
+
+    assert rg_pallas_available(n_cells=196608)
+    assert rg_pallas_available(n_cells=1048576)
+    assert rg_pallas_available(MutAxis("muts"), n_cells=1048576)
 
 
 def test_stream_chunked_matches_scan(monkeypatch):

@@ -214,3 +214,65 @@ def test_sharded_lazy_kernel_matches_sharded_scan():
         was_free = np.asarray(start.cluster_size) == 0
         births += int((was_free & (np.asarray(want.cluster_size) > 0)).sum())
     assert births >= 1, "no birth exercised the sharded patch path"
+
+
+def test_sharded_rg_kernel_matches_sharded_scan(monkeypatch):
+    """The split-merge restricted-scan Pallas kernel under a SHARDED MutAxis
+    (interpret mode): every kernel input is replicated across the mutation
+    shards before the kernel (dz comes from the psummed [n, 2] launch
+    log-lik), so inside the same shard_map the kernel move must match the
+    scan move bit-for-bit — the round-5 enablement that keeps split-merge on
+    the kernel path for muts-sharded meshes (VERDICT r4 item 4)."""
+    import functools
+
+    from bnpc_tpu.models import splitmerge as sm_mod
+    from bnpc_tpu.ops import pallas_rg
+
+    monkeypatch.setattr(
+        pallas_rg, "rg_scan",
+        functools.partial(pallas_rg.rg_scan, interpret=True),
+    )
+
+    data, _ = make_problem(n=24, m=32, k_clones=3, seed=7)
+    cfg = ModelConfig(n_cells=24, n_muts=32, k_max=24, p=0.25, q=0.25,
+                      fp=0.01, fn=0.1)
+    packed = pack_data(data)
+    mesh = sharded.make_mesh(1, 8)
+
+    def run(impl, seed):
+        state = init_state(jax.random.key(seed), cfg, packed, mode="random")
+        key = jax.random.key(200 + seed)
+
+        def body(st, data_local):
+            ax = MutAxis(sharded.MUTS)
+            new_st, counts = sm_mod.split_merge(
+                key, st, data_local, cfg, 0.75, 3, ax=ax, impl=impl)
+            return new_st, counts
+
+        specs = jax.tree.map(
+            lambda s: P(*[a for a in s if a != sharded.CHAINS]),
+            sharded.state_specs(), is_leaf=lambda x: isinstance(x, P))
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(specs, sharded.data_specs()),
+            out_specs=(specs, P(None, None)),
+            check_vma=False,
+        )
+        return fn(state, packed)
+
+    accepted = 0
+    for seed in range(4):
+        want, counts_want = run("scan", seed)
+        got, counts_got = run("pallas", seed)
+        np.testing.assert_array_equal(np.asarray(want.assignment),
+                                      np.asarray(got.assignment))
+        np.testing.assert_array_equal(np.asarray(want.cluster_size),
+                                      np.asarray(got.cluster_size))
+        np.testing.assert_array_equal(np.asarray(counts_want),
+                                      np.asarray(counts_got))
+        live = np.asarray(got.cluster_size) > 0
+        np.testing.assert_allclose(np.asarray(want.params)[live],
+                                   np.asarray(got.params)[live], rtol=1e-6)
+        check_state_invariants(got, cfg)
+        accepted += int(np.asarray(counts_want)[:, 0].sum())
+    assert accepted >= 1, "no accepted move exercised the sharded rg kernel"

@@ -61,16 +61,16 @@ def test_estimator_parity_compiled():
 
 
 def test_smem_probe_at_caps():
-    """The shipped cell-cap constants actually compile and run on this
+    """The shipped scaling claims actually compile and run on this
     hardware: the streaming sweep at (and beyond) the old SMEM ceiling and
-    the rg kernel at its cap (benchmarks/smem_probe.py oracles)."""
+    the cap-free rg kernel far above its old 196,608-cell SMEM cap
+    (benchmarks/smem_probe.py oracles; bit-exact sequential replays)."""
     sys.path.insert(0, os.path.abspath(_BENCH_DIR))
     try:
         import smem_probe
 
-        from bnpc_tpu.models.splitmerge import RG_SMEM_CELL_CAP
-
         assert smem_probe.probe_stream(131072)
-        assert smem_probe.probe_rg(RG_SMEM_CELL_CAP)
+        assert smem_probe.probe_rg(262144)
+        assert smem_probe.probe_rg(1048576)
     finally:
         sys.path.pop(0)
