@@ -28,7 +28,8 @@ def make_data(n, m, k_clones, missing, seed=0):
     return data, assign, geno
 
 
-def run_config(name, n, m, k_clones, missing, n_chains, steps, seed=1):
+def run_config(name, n, m, k_clones, missing, n_chains, steps, seed=1,
+               gibbs_block=0, k_max=None):
     import jax
     from sklearn.metrics import adjusted_rand_score
 
@@ -37,11 +38,12 @@ def run_config(name, n, m, k_clones, missing, n_chains, steps, seed=1):
     from bnpc_tpu.mcmc import MCMCRunner
 
     data, truth, geno = make_data(n, m, k_clones, missing)
-    cfg = ModelConfig(n_cells=n, n_muts=m, k_max=min(n, 256),
+    cfg = ModelConfig(n_cells=n, n_muts=m,
+                      k_max=min(n, 256) if k_max is None else k_max,
                       p=0.25, q=0.25, fp=0.01, fn=0.2, learn_errors=True,
                       fp_sd=0.01, fn_sd=0.1)
     mcmc_cfg = MCMCConfig(sm_prob=0.33, dpa_prob=0.25, error_prob=0.25,
-                          sm_steps=3)
+                          sm_steps=3, gibbs_block=gibbs_block)
     # block_size divides `steps` so the timed run reuses ONE compiled block
     # pipeline (a remainder block would compile a second program mid-run).
     block = 100 if steps % 100 == 0 else 64
@@ -102,6 +104,31 @@ def run_config(name, n, m, k_clones, missing, n_chains, steps, seed=1):
 
 def main():
     quick = "--quick" in sys.argv
+    if "--blocked" in sys.argv:
+        # Blocked-vs-exact accuracy at the scales the --blocked_gibbs flag
+        # targets (VERDICT r4 item 5): same data, same seed, same steps —
+        # only the sweep implementation differs, so the ARI / ESS-per-sec
+        # columns isolate the approximation's cost/benefit.
+        steps = 200 if quick else 600
+        out = []
+        for n, m, blocks in (
+            (5000, 200, (0, 512)),
+            (50000, 200, (0, 512, 2048)),
+            (131072, 200, (0, 512, 2048)),
+        ):
+            if quick and n > 50000:
+                continue
+            for blk in blocks:
+                tag = "exact" if blk == 0 else f"blocked[{blk}]"
+                out.append(run_config(
+                    f"{n}x{m} {tag}", n, m, 15, 0.1, 1, steps,
+                    gibbs_block=blk, k_max=128))
+                print(json.dumps(out[-1]), flush=True)
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "blocked_accuracy_results.json")
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=2)
+        return
     out = [
         run_config("4x chains 1000x100 20%missing", 1000, 100, 10, 0.2,
                    4, 100 if quick else 600),

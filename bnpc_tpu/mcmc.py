@@ -150,6 +150,27 @@ def summarize(state: CRPState, data: PackedData, cfg: ModelConfig,
 # Narrow bucket width of the live-width fast path (one VPU lane tile).
 _KB = 128
 
+# The live-width k-bucket is OFF by default since round 5: controlled
+# same-session measurements show ALWAYS-WIDE execution beats the bucketed
+# dispatch at every shape tried (k_max=256, full move mixture, v5e;
+# benchmarks/headline_bench.py):
+#
+#     5,000 x 200   wide 721.8 vs bucket 673.5 steps/s
+#    10,000 x 200   wide 436.2 vs bucket 412.8
+#     5,000 x 500   wide 607.7 vs bucket 571.3
+#    10,000 x 500   wide 387.7 vs bucket 376.6
+#
+# The bucket's fixed per-step costs (occupancy reductions + two lax.conds,
+# full-width slot RNG, dynamic-slice state merges) exceed the narrow body's
+# [n, k] savings now that the streaming sweep kernel serves wide-k shapes
+# at full speed — the round-4 10,000x500 k256 win credited to the bucket
+# (133 -> 298 steps/s) was actually the streaming kernel replacing the
+# round-3 scan fallback; re-measured on round-5 code, always-wide runs
+# 387.7 at that shape. The machinery stays bit-parity-tested
+# (tests/test_kbucket.py) and can be re-enabled for unexplored shapes by
+# setting _KB_ON = True.
+_KB_ON = False
+
 
 def _make_step_body(cfg: ModelConfig, mcmc_cfg: MCMCConfig, data: PackedData,
                     trace_k: int, ax: MutAxis, gibbs_impl: str,
@@ -253,7 +274,8 @@ def make_step_fn(cfg: ModelConfig, mcmc_cfg: MCMCConfig, data: PackedData,
     gibbs_impl="auto_single" selects the fused Pallas sweep on TPU; only
     valid when the step runs unbatched (not under vmap).
 
-    Live-width fast path (VERDICT round 3, weak item 2): with k_max > 128
+    Live-width fast path (OFF by default — see _KB_ON; measured slower
+    than always-wide at every shape tried): with _KB_ON and k_max > 128
     on the unbatched ("auto_single") route, each step dispatches by a
     lax.cond on the occupancy — when every live slot sits below 128 and
     fewer than 128 clusters exist (always true at stationarity, where
@@ -271,7 +293,9 @@ def make_step_fn(cfg: ModelConfig, mcmc_cfg: MCMCConfig, data: PackedData,
                                 gibbs_impl, False)
     # trace_k <= _KB keeps the narrow body's trace-row params the same
     # shape as the wide one's (the default trace_k is min(k_max, 128)).
-    if cfg.k_max <= _KB or cfg.k_rng or trace_k > _KB \
+    # _KB_ON: the bucket is off by default — measured slower than
+    # always-wide at every shape tried (see the note at _KB_ON).
+    if not _KB_ON or cfg.k_max <= _KB or cfg.k_rng or trace_k > _KB \
             or gibbs_impl != "auto_single":
         return step_wide
     cfg_n = dataclasses.replace(cfg, k_max=_KB, k_rng=cfg.k_max)
@@ -647,15 +671,6 @@ class MCMCRunner:
                 else "vmap"
             )
         self.chain_exec = chain_exec
-        block = make_block_fn(cfg, mcmc_cfg, data, self.trace_k)
-        # Single-chain runs skip vmap entirely: under vmap lax.cond lowers to
-        # select (both move branches execute every step), roughly doubling
-        # step cost. One chain keeps real branching; coupled_moves restores
-        # real branching for batched chains too. The unbatched block also
-        # gets the fused Pallas Gibbs sweep on TPU (gibbs.pallas_available).
-        block_single = make_block_fn(
-            cfg, mcmc_cfg, data, self.trace_k, gibbs_impl="auto_single")
-        coupled = make_coupled_step_fn(cfg, mcmc_cfg, data, self.trace_k)
 
         # Each pipeline folds the per-block key splitting and the chain-axis
         # unwrap/rewrap INTO the jitted program: over a tunneled TPU every
@@ -663,60 +678,84 @@ class MCMCRunner:
         # eager tree.map/split sequence (~20 dispatches per block) cost more
         # than the sampling itself at headline scale (measured: 180 ->
         # ~300 steps/s at 5,000 x 200, block 32).
+        #
+        # The data planes enter every pipe as ARGUMENTS, not closures: a
+        # closed-over concrete array is embedded in the lowered program as a
+        # constant, which (a) ships the whole [n, m] matrix inside every
+        # compile request (the tunneled remote-compile service rejects the
+        # step program with HTTP 413 above ~131k cells) and (b) recompiles
+        # on every new dataset of the same shape. The block/step factories
+        # are therefore invoked inside the traced function, where `data` is
+        # a tracer.
         def _split_keys(keys, n_steps):
             step_keys = jax.vmap(
                 lambda k: jax.random.split(k, n_steps + 1)
             )(keys)
             return step_keys, step_keys[:, 0]
 
-        def _pipe_single(states, keys, n_steps):
+        def _pipe_single(states, keys, data, n_steps):
+            # Single-chain runs skip vmap entirely: under vmap lax.cond
+            # lowers to select (both move branches execute every step),
+            # roughly doubling step cost. The unbatched block also gets the
+            # fused Pallas kernels on TPU (gibbs.pallas_available).
+            blk = make_block_fn(cfg, mcmc_cfg, data, self.trace_k,
+                                gibbs_impl="auto_single")
             step_keys, next_keys = _split_keys(keys, n_steps)
             st1 = jax.tree.map(lambda x: x[0], states)
-            st1, rows1 = block_single(st1, step_keys[0, 1:])
+            st1, rows1 = blk(st1, step_keys[0, 1:])
             return (jax.tree.map(lambda x: x[None], st1),
                     jax.tree.map(lambda x: x[None], rows1), next_keys)
 
-        def _pipe_vmap(states, keys, n_steps):
+        def _pipe_vmap(states, keys, data, n_steps):
+            blk = make_block_fn(cfg, mcmc_cfg, data, self.trace_k)
             step_keys, next_keys = _split_keys(keys, n_steps)
-            states, rows = jax.vmap(block)(states, step_keys[:, 1:])
+            states, rows = jax.vmap(blk)(states, step_keys[:, 1:])
             return states, rows, next_keys
 
-        def _pipe_coupled(states, keys, n_steps):
+        def _pipe_coupled(states, keys, data, n_steps):
+            coupled = make_coupled_step_fn(cfg, mcmc_cfg, data, self.trace_k)
             step_keys, next_keys = _split_keys(keys, n_steps)
             states, rows_sc = jax.lax.scan(coupled, states, step_keys[0, 1:])
             # [B, C, ...] -> [C, B, ...]
             rows = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), rows_sc)
             return states, rows, next_keys
 
-        self._pipe_single = jax.jit(_pipe_single, static_argnums=2)
-        self._pipe_vmap = jax.jit(_pipe_vmap, static_argnums=2)
-        self._pipe_coupled = jax.jit(_pipe_coupled, static_argnums=2)
+        self._pipe_single = jax.jit(_pipe_single, static_argnums=3)
+        self._pipe_vmap = jax.jit(_pipe_vmap, static_argnums=3)
+        self._pipe_coupled = jax.jit(_pipe_coupled, static_argnums=3)
         # Sharded (shard_map) paths share one pipe that folds the key
         # splitting and the params un-padding into the jitted program (the
-        # eager per-block vmap-split costs several relay dispatches).
+        # eager per-block vmap-split costs several relay dispatches). The
+        # pipe calls the RAW (un-jitted, data-first) shard_map body so the
+        # data rides through its own jit boundary as an argument.
         sh_block = (self._block_sharded if self._block_sharded is not None
                     else self._chain_block)
         self._pipe_sharded = None
+        self._sh_data = None
         if sh_block is not None:
             m_real = cfg.n_muts
+            sh_raw = sh_block.raw
+            self._sh_data = (self._data_pad
+                             if self._block_sharded is not None else data)
 
-            def _pipe_sharded(states, keys, n_steps):
+            def _pipe_sharded(states, keys, data_arg, n_steps):
                 step_keys, next_keys = _split_keys(keys, n_steps)
-                states, rows = sh_block(states, step_keys[:, 1:])
+                states, rows = sh_raw(data_arg, states, step_keys[:, 1:])
                 if rows.params.shape[-1] != m_real:
                     rows = rows._replace(params=rows.params[..., :m_real])
                 return states, rows, next_keys
 
-            self._pipe_sharded = jax.jit(_pipe_sharded, static_argnums=2)
+            self._pipe_sharded = jax.jit(_pipe_sharded, static_argnums=3)
         # Sequential-exec helpers: one dispatch to slice a chain out and one
         # to restack all chains (vs ~6 eager ops per pytree leaf).
         self._slice_chain = jax.jit(lambda tree, c: jax.tree.map(
             lambda x: jax.lax.dynamic_slice_in_dim(x, c, 1, 0), tree))
         self._stack_chains = jax.jit(lambda trees: jax.tree.map(
             lambda *xs: jnp.concatenate(xs), *trees))
-        self._summary = jax.jit(
-            jax.vmap(lambda st: summarize(st, data, cfg, self.trace_k))
-        )
+        self._summary = jax.jit(jax.vmap(
+            lambda st, d: summarize(st, d, cfg, self.trace_k),
+            in_axes=(0, None),
+        ))
         self.seeds: np.ndarray | None = None
         # Injectable clock (deterministic time-mode tests stub this).
         self._now = datetime.now
@@ -738,16 +777,16 @@ class MCMCRunner:
     def run_block(self, states: CRPState, keys, n_steps: int):
         if self._block_sharded is not None:
             states = self._pad_state_muts(states)
-            return self._pipe_sharded(states, keys, n_steps)
+            return self._pipe_sharded(states, keys, self._sh_data, n_steps)
         if keys.shape[0] == 1:
-            return self._pipe_single(states, keys, n_steps)
+            return self._pipe_single(states, keys, self.data, n_steps)
         if self.mcmc_cfg.coupled_moves and self.chain_exec == "vmap":
             # One shared key stream drives the move schedule; per-chain
             # randomness is split from it inside the step.
-            return self._pipe_coupled(states, keys, n_steps)
+            return self._pipe_coupled(states, keys, self.data, n_steps)
         if (self._chain_block is not None
                 and keys.shape[0] % self._chain_mesh.shape["chains"] == 0):
-            return self._pipe_sharded(states, keys, n_steps)
+            return self._pipe_sharded(states, keys, self._sh_data, n_steps)
         if self.chain_exec == "sequential":
             # Per-chain single-chain programs (see __init__ notes). The
             # width-1 slice keeps the chain axis so each chain reuses the
@@ -755,9 +794,10 @@ class MCMCRunner:
             outs = []
             for c in range(keys.shape[0]):
                 st_c, keys_c = self._slice_chain((states, keys), c)
-                outs.append(self._pipe_single(st_c, keys_c, n_steps))
+                outs.append(
+                    self._pipe_single(st_c, keys_c, self.data, n_steps))
             return self._stack_chains(tuple(outs))
-        return self._pipe_vmap(states, keys, n_steps)
+        return self._pipe_vmap(states, keys, self.data, n_steps)
 
     # -- top-level run (libs/MCMC.py:79-123) -------------------------------
 
@@ -802,7 +842,7 @@ class MCMCRunner:
         if states.params.shape[-1] != self.cfg.n_muts:
             states = states._replace(
                 params=states.params[..., :self.cfg.n_muts])
-        return self._summary(states)
+        return self._summary(states, self.data)
 
     def _maybe_shard(self, states, keys, n_chains: int):
         """Shard the chain batch axis over the devices (the TPU-native

@@ -20,8 +20,6 @@ psums — so the sharded step is literally the single-chip step wrapped in
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -214,7 +212,19 @@ def make_sharded_block(mesh: Mesh, cfg: ModelConfig, mcmc_cfg: MCMCConfig,
         out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(partial(sharded, data))
+    jitted = jax.jit(sharded)
+
+    # Data rides through the jit boundary as an ARGUMENT (not a closure):
+    # closed-over concrete arrays are embedded in the lowered program as
+    # constants, which ships the whole [n, m] matrix in every compile
+    # request and recompiles per dataset (see mcmc.MCMCRunner pipes).
+    def block(states, keys):
+        return jitted(data, states, keys)
+
+    # Un-jitted, data-first body for callers that fold this block into
+    # their own jitted pipeline (mcmc.MCMCRunner._pipe_sharded).
+    block.raw = sharded
+    return block
 
 
 def shard_chain_states(mesh: Mesh, states: CRPState, keys):

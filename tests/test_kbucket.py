@@ -65,6 +65,7 @@ def test_bucketed_step_matches_wide(monkeypatch):
     guard fails (occupancy high) and steps where a veto forces the wide
     replay."""
     monkeypatch.setattr(mcmc, "_KB", 8)
+    monkeypatch.setattr(mcmc, "_KB_ON", True)
     cfg, mcmc_cfg, packed = _problem()
     trace_k = mcmc.resolve_trace_k(cfg, mcmc_cfg)
     assert trace_k == 8
@@ -140,22 +141,29 @@ def test_veto_flag_fires_and_is_consistent():
     assert fired >= 1, "veto never fired — loosen the crowding"
 
 
-def test_bucket_gate_conditions():
-    """The bucket only engages on the unbatched route with k_max > _KB and
-    a compatible trace width."""
+def test_bucket_gate_conditions(monkeypatch):
+    """The bucket only engages when _KB_ON, on the unbatched route with
+    k_max > _KB and a compatible trace width — and is OFF by default
+    (measured slower than always-wide at every shape tried; mcmc._KB_ON)."""
     cfg, mcmc_cfg, packed = _problem()
     trace_k = mcmc.resolve_trace_k(cfg, mcmc_cfg)
 
     def bucketed(f):
         return "make_step_fn" in f.__qualname__
 
-    # k_max (24) <= _KB (128): plain body.
-    assert not bucketed(mcmc.make_step_fn(cfg, mcmc_cfg, packed, trace_k,
-                                          gibbs_impl="auto_single"))
     import dataclasses
 
     big = dataclasses.replace(cfg, n_cells=300, k_max=200)
     big_packed = pack_data(np.zeros((300, 10)))
+    # Default: OFF even on the eligible route.
+    assert not mcmc._KB_ON
+    assert not bucketed(mcmc.make_step_fn(big, mcmc_cfg, big_packed, 8,
+                                          gibbs_impl="auto_single"))
+
+    monkeypatch.setattr(mcmc, "_KB_ON", True)
+    # k_max (24) <= _KB (128): plain body.
+    assert not bucketed(mcmc.make_step_fn(cfg, mcmc_cfg, packed, trace_k,
+                                          gibbs_impl="auto_single"))
     # vmap route never buckets; the unbatched route does.
     assert not bucketed(mcmc.make_step_fn(big, mcmc_cfg, big_packed, 8,
                                           gibbs_impl="auto"))
