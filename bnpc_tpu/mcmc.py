@@ -508,7 +508,7 @@ class _TraceBuffer:
         self.params_from = params_from
         self._next = 1  # global row index of the next appended step row
 
-    def append(self, rows: TraceRow):
+    def append(self, rows: TraceRow, live_k=None):
         b = rows.ml.shape[1]
         bp = rows.params.shape[1]
         lo = max(0, min(b, self.params_from - self._next))
@@ -524,15 +524,21 @@ class _TraceBuffer:
         p = rows.params
         if isinstance(p, jax.Array) and p.shape[1] and p.shape[2] > 8:
             # Slice the params leaf to the block's live-cluster width
-            # (rounded up to a sublane multiple to bound the number of
-            # distinct slice programs) before it crosses the relay: at
-            # headline scale ~12 of trace_k=128 slots are live, so the
-            # dominant D2H leaf shrinks ~10x. The int() synchronizes on
-            # block completion — a few ms of dispatch bubble per block
-            # against a fetch that otherwise rivals the block's compute
-            # time. concat() re-pads blocks to a common width.
-            w = int(_block_live_k(p))
-            w = min(p.shape[2], max(8, -(-w // 8) * 8))
+            # (rounded up to a POWER OF TWO — each distinct width is a
+            # separate slice + chunked-transfer program, and on the
+            # tunneled TPU every fresh compile is a ~0.7-1.4 s remote
+            # round-trip; pow2 bounds the storm at log2(k) programs)
+            # before it crosses the relay: at headline scale ~12 of
+            # trace_k=128 slots are live, so the dominant D2H leaf
+            # shrinks ~8x. `live_k` is the pipe-computed block scalar
+            # (run_block._last_live_k) — already materialized with the
+            # block, so int() is a ready-buffer readback, not a queued
+            # device program. concat() re-pads to a common width.
+            if live_k is not None:
+                w = max(int(x) for x in live_k)
+            else:
+                w = int(_block_live_k(p))
+            w = min(p.shape[2], max(8, 1 << max(0, int(w) - 1).bit_length()))
             if w < p.shape[2]:
                 rows = rows._replace(params=p[:, :, :w])
         # Start the device->host copies immediately (chunked for large
@@ -693,6 +699,14 @@ class MCMCRunner:
             )(keys)
             return step_keys, step_keys[:, 0]
 
+        # Every pipe returns (states, rows, next_keys, live_k) where live_k
+        # is the block's max live-cluster count, computed INSIDE the jitted
+        # pipeline. _TraceBuffer.append needs this scalar concretely for the
+        # live-width params wire slice; computing it eagerly per block cost
+        # a separate device program that queued BEHIND the already-
+        # dispatched next block (~150 ms/block of spurious wait at headline
+        # shape). As a pipe output it is materialized the moment the block
+        # finishes, so int() is a cheap ready-buffer readback.
         def _pipe_single(states, keys, data, n_steps):
             # Single-chain runs skip vmap entirely: under vmap lax.cond
             # lowers to select (both move branches execute every step),
@@ -704,13 +718,14 @@ class MCMCRunner:
             st1 = jax.tree.map(lambda x: x[0], states)
             st1, rows1 = blk(st1, step_keys[0, 1:])
             return (jax.tree.map(lambda x: x[None], st1),
-                    jax.tree.map(lambda x: x[None], rows1), next_keys)
+                    jax.tree.map(lambda x: x[None], rows1), next_keys,
+                    _block_live_k(rows1.params))
 
         def _pipe_vmap(states, keys, data, n_steps):
             blk = make_block_fn(cfg, mcmc_cfg, data, self.trace_k)
             step_keys, next_keys = _split_keys(keys, n_steps)
             states, rows = jax.vmap(blk)(states, step_keys[:, 1:])
-            return states, rows, next_keys
+            return states, rows, next_keys, _block_live_k(rows.params)
 
         def _pipe_coupled(states, keys, data, n_steps):
             coupled = make_coupled_step_fn(cfg, mcmc_cfg, data, self.trace_k)
@@ -718,7 +733,7 @@ class MCMCRunner:
             states, rows_sc = jax.lax.scan(coupled, states, step_keys[0, 1:])
             # [B, C, ...] -> [C, B, ...]
             rows = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), rows_sc)
-            return states, rows, next_keys
+            return states, rows, next_keys, _block_live_k(rows.params)
 
         self._pipe_single = jax.jit(_pipe_single, static_argnums=3)
         self._pipe_vmap = jax.jit(_pipe_vmap, static_argnums=3)
@@ -743,7 +758,7 @@ class MCMCRunner:
                 states, rows = sh_raw(data_arg, states, step_keys[:, 1:])
                 if rows.params.shape[-1] != m_real:
                     rows = rows._replace(params=rows.params[..., :m_real])
-                return states, rows, next_keys
+                return states, rows, next_keys, _block_live_k(rows.params)
 
             self._pipe_sharded = jax.jit(_pipe_sharded, static_argnums=3)
         # Sequential-exec helpers: one dispatch to slice a chain out and one
@@ -759,6 +774,9 @@ class MCMCRunner:
         self.seeds: np.ndarray | None = None
         # Injectable clock (deterministic time-mode tests stub this).
         self._now = datetime.now
+        # Set by run_block: tuple of device scalars, the max live-cluster
+        # count of the latest block (one per dispatched program).
+        self._last_live_k = None
 
     # -- low-level --------------------------------------------------------
 
@@ -775,19 +793,27 @@ class MCMCRunner:
         )(keys)
 
     def run_block(self, states: CRPState, keys, n_steps: int):
+        """Run one block. Returns (states, rows, next_keys); the block's
+        live-cluster-count scalar(s) — a device int computed inside the
+        pipe — land in ``self._last_live_k`` for _TraceBuffer.append's
+        wire-width slice (a tuple: one entry per dispatched program)."""
         if self._block_sharded is not None:
             states = self._pad_state_muts(states)
-            return self._pipe_sharded(states, keys, self._sh_data, n_steps)
-        if keys.shape[0] == 1:
-            return self._pipe_single(states, keys, self.data, n_steps)
-        if self.mcmc_cfg.coupled_moves and self.chain_exec == "vmap":
+            st, rows, nk, lk = self._pipe_sharded(
+                states, keys, self._sh_data, n_steps)
+        elif keys.shape[0] == 1:
+            st, rows, nk, lk = self._pipe_single(
+                states, keys, self.data, n_steps)
+        elif self.mcmc_cfg.coupled_moves and self.chain_exec == "vmap":
             # One shared key stream drives the move schedule; per-chain
             # randomness is split from it inside the step.
-            return self._pipe_coupled(states, keys, self.data, n_steps)
-        if (self._chain_block is not None
+            st, rows, nk, lk = self._pipe_coupled(
+                states, keys, self.data, n_steps)
+        elif (self._chain_block is not None
                 and keys.shape[0] % self._chain_mesh.shape["chains"] == 0):
-            return self._pipe_sharded(states, keys, self._sh_data, n_steps)
-        if self.chain_exec == "sequential":
+            st, rows, nk, lk = self._pipe_sharded(
+                states, keys, self._sh_data, n_steps)
+        elif self.chain_exec == "sequential":
             # Per-chain single-chain programs (see __init__ notes). The
             # width-1 slice keeps the chain axis so each chain reuses the
             # SAME compiled pipeline as an actual single-chain run.
@@ -796,8 +822,14 @@ class MCMCRunner:
                 st_c, keys_c = self._slice_chain((states, keys), c)
                 outs.append(
                     self._pipe_single(st_c, keys_c, self.data, n_steps))
-            return self._stack_chains(tuple(outs))
-        return self._pipe_vmap(states, keys, self.data, n_steps)
+            st, rows, nk = self._stack_chains(tuple(o[:3] for o in outs))
+            self._last_live_k = tuple(o[3] for o in outs)
+            return st, rows, nk
+        else:
+            st, rows, nk, lk = self._pipe_vmap(
+                states, keys, self.data, n_steps)
+        self._last_live_k = (lk,)
+        return st, rows, nk
 
     # -- top-level run (libs/MCMC.py:79-123) -------------------------------
 
@@ -1003,6 +1035,24 @@ class MCMCRunner:
                 if saved_init is not None:
                     init_rows = saved_init
         blocks_since_ckpt = 0
+        # Dispatch-ahead trace appends: append() synchronizes on its
+        # block's completion (the live-width params slice needs the
+        # concrete cluster count — _TraceBuffer.append), so appending
+        # block i BEFORE dispatching block i+1 leaves the device idle for
+        # one host round-trip per block. Holding each block's rows as
+        # `pending` and appending only after the NEXT block is in the
+        # device queue removes that bubble; `flush()` runs before anything
+        # that needs the buffer caught up with `done` (checkpoints,
+        # collection). Append order — and therefore the buffer's global
+        # row indexing for the params_from trim — is unchanged.
+        pending = None
+
+        def flush():
+            nonlocal pending
+            if pending is not None:
+                buf.append(pending[0], live_k=pending[1])
+                pending = None
+
         while done < steps:
             b = min(self.block_size, steps - done)
             if b == self.block_size:
@@ -1016,6 +1066,7 @@ class MCMCRunner:
                 # re-startable, and a resume replays the partial block
                 # bit-identically from here (the step keys are a pure
                 # function of the chain key).
+                flush()
                 if ckpt_path:
                     self.save_checkpoint(ckpt_path, states, keys, buf, done,
                                          init_rows)
@@ -1023,17 +1074,23 @@ class MCMCRunner:
                     states, keys, self.block_size
                 )
                 rows = jax.tree.map(lambda x: x[:, :b], rows)
-            buf.append(rows)
+            flush()
+            pending = (rows, self._last_live_k)
             done += b
             if getattr(self, "_verbosity", 1) > 1:
+                # Progress printing reads the current block's MH counts —
+                # a per-block sync that reintroduces the dispatch bubble;
+                # acceptable at debug verbosity.
                 self._print_progress(done, steps, rows)
             blocks_since_ckpt += 1
             aligned = done % self.block_size == 0
             if (ckpt_path and aligned
                     and blocks_since_ckpt >= self.checkpoint_every):
+                flush()
                 self.save_checkpoint(ckpt_path, states, keys, buf, done,
                                      init_rows)
                 blocks_since_ckpt = 0
+        flush()
         if ckpt_path and steps % self.block_size == 0:
             self.save_checkpoint(ckpt_path, states, keys, buf, done,
                                  init_rows)
@@ -1092,7 +1149,7 @@ class MCMCRunner:
                 keep = max(1, int(self.block_size * frac))
                 if keep < self.block_size:
                     rows = jax.tree.map(lambda x: x[:, :keep], rows)
-            buf.append(rows)
+            buf.append(rows, live_k=self._last_live_k)
             # The reference compares the burn-in timestamp at every step
             # start (libs/MCMC.py:428-430); steps inside a jitted block have
             # no host clock, so the step where burn-in ended is recovered by
@@ -1137,7 +1194,7 @@ class MCMCRunner:
                 resumed = True
         if not resumed:
             states, rows, keys = self.run_block(states, keys, first)
-            buf.append(rows)
+            buf.append(rows, live_k=self._last_live_k)
         # PSRF evaluations recorded before a checkpoint restart stay in the
         # reported history (the reference accumulates the full list across
         # extensions, libs/MCMC.py:147-156).
@@ -1168,7 +1225,7 @@ class MCMCRunner:
             if psrf <= cutoff:
                 break
             states, rows, keys = self.run_block(states, keys, extension)
-            buf.append(rows)
+            buf.append(rows, live_k=self._last_live_k)
             if ckpt_path:
                 self.save_checkpoint(
                     ckpt_path, states, keys, buf, buf.n_steps, init_rows,

@@ -92,6 +92,13 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
         cache_dir, _platform_tag() + "-" + host_fingerprint())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Cache EVERYTHING, including sub-second programs: on the tunneled
+        # TPU every compile is a remote-service round-trip (~0.7-1.4 s wall
+        # even for a trivial slice program), so the default 1 s floor —
+        # which keys on XLA's own compile time, not the round-trip — left
+        # the per-live-width trace-slice programs uncached and every fresh
+        # process re-paid them (measured: 2+ s of the accuracy bench's
+        # per-run overhead).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass  # older jax without the knobs — purely an optimization
