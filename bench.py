@@ -25,6 +25,19 @@ import numpy as np
 REFERENCE_STEPS_PER_SEC = 0.0885
 
 
+def make_data(n, m):
+    """The headline dataset (seed 0, 10 clones, 10% missing). Shared with
+    benchmarks/headline_bench.py so controlled comparisons stay controlled."""
+    rng = np.random.default_rng(0)
+    geno = rng.integers(0, 2, size=(10, m))
+    assign = rng.integers(0, 10, size=n)
+    data = geno[assign].astype(float)
+    data[(data == 1) & (rng.random((n, m)) < 0.1)] = 0
+    data[(data == 0) & (rng.random((n, m)) < 0.001)] = 1
+    data[rng.random((n, m)) < 0.1] = np.nan
+    return data
+
+
 def main():
     import jax
 
@@ -40,13 +53,7 @@ def main():
     if "--small" in sys.argv:  # fast smoke mode
         n, m = 500, 100
 
-    rng = np.random.default_rng(0)
-    geno = rng.integers(0, 2, size=(10, m))
-    assign = rng.integers(0, 10, size=n)
-    data = geno[assign].astype(float)
-    data[(data == 1) & (rng.random((n, m)) < 0.1)] = 0
-    data[(data == 0) & (rng.random((n, m)) < 0.001)] = 1
-    data[rng.random((n, m)) < 0.1] = np.nan
+    data = make_data(n, m)
 
     cfg = ModelConfig(
         n_cells=n, n_muts=m, k_max=min(n, 256), p=0.25, q=0.25,

@@ -43,14 +43,17 @@ def main():
 
     orig_append = M._TraceBuffer.append
 
-    def timed_append(self, rows):
+    def timed_append(self, rows, live_k=None):
         t0 = time.perf_counter()
-        p = rows.params
-        w = None
-        if isinstance(p, jax.Array) and p.shape[1] and p.shape[2] > 8:
-            w = int(M._block_live_k(p))
+        if live_k is not None:
+            w = max(int(x) for x in live_k)
+        else:
+            p = rows.params
+            w = None
+            if isinstance(p, jax.Array) and p.shape[1] and p.shape[2] > 8:
+                w = int(M._block_live_k(p))
         t1 = time.perf_counter()
-        orig_append(self, rows)
+        orig_append(self, rows, live_k=live_k)
         t2 = time.perf_counter()
         print(f"  append: live_k sync {1e3*(t1-t0):7.1f} ms  "
               f"rest {1e3*(t2-t1):7.1f} ms  w={w}", flush=True)

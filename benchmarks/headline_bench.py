@@ -29,16 +29,16 @@ import numpy as np
 
 
 def make_headline_data():
-    """Exactly bench.py's data (seed 0, 10 clones, 10% missing)."""
-    n, m = 5000, 200
-    rng = np.random.default_rng(0)
-    geno = rng.integers(0, 2, size=(10, m))
-    assign = rng.integers(0, 10, size=n)
-    data = geno[assign].astype(float)
-    data[(data == 1) & (rng.random((n, m)) < 0.1)] = 0
-    data[(data == 0) & (rng.random((n, m)) < 0.001)] = 1
-    data[rng.random((n, m)) < 0.1] = np.nan
-    return data
+    """Exactly bench.py's data — imported, not copied, so the controlled
+    comparison stays controlled if bench.py's recipe ever changes."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    return bench.make_data(5000, 200)
 
 
 def measure(packed, k_max, timed_steps, reps, force_wide=False):
@@ -87,7 +87,7 @@ def measure(packed, k_max, timed_steps, reps, force_wide=False):
     # Narrow-arm eligibility from the final timed block's assignment trace.
     from bnpc_tpu.utils import transfer
 
-    assigns = transfer.to_host(last_rows.assignment)[:, 0]  # [steps, n]
+    assigns = transfer.to_host(last_rows.assignment)[0]  # [steps, n]
     assigns = assigns.astype(np.int32)
     max_slot = assigns.max(axis=1)
     n_cl = np.array([np.unique(a).size for a in assigns])
