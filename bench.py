@@ -26,16 +26,12 @@ REFERENCE_STEPS_PER_SEC = 0.0885
 
 
 def make_data(n, m):
-    """The headline dataset (seed 0, 10 clones, 10% missing). Shared with
-    benchmarks/headline_bench.py so controlled comparisons stay controlled."""
-    rng = np.random.default_rng(0)
-    geno = rng.integers(0, 2, size=(10, m))
-    assign = rng.integers(0, 10, size=n)
-    data = geno[assign].astype(float)
-    data[(data == 1) & (rng.random((n, m)) < 0.1)] = 0
-    data[(data == 0) & (rng.random((n, m)) < 0.001)] = 1
-    data[rng.random((n, m)) < 0.1] = np.nan
-    return data
+    """The headline dataset (seed 0, 10 clones, 10% missing) — delegates to
+    the ONE shared generator in benchmarks/accuracy_bench.py so the
+    headline, accuracy, and probe benchmarks all run the same matrix."""
+    from benchmarks.accuracy_bench import make_data as _gen
+
+    return _gen(n, m, 10, 0.1, seed=0)[0]
 
 
 def main():

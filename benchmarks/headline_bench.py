@@ -7,10 +7,13 @@ comparison. This script measures, in ONE process and therefore one
 relay-health window:
 
   1. k_max=128            — no k-bucket (k_max <= 128 never builds one);
-  2. k_max=256 (bucket)   — the bench.py config: live-width k-bucket
+  2. k_max=256 (bucket)   — the round-4 default: live-width k-bucket
                             dispatch, narrow 128-slot body at stationarity;
-  3. k_max=256 forced-wide — the k-bucket disabled (round-3 behavior), every
-                            step runs the full 256-slot body.
+  3. k_max=256 always-wide — the k-bucket disabled: every step runs the
+                            full 256-slot body. This measured FASTER than
+                            arm 2 at every shape tried, so it is the
+                            round-5 default and THE bench.py config
+                            (mcmc._KB_ON gates the bucket off).
 
 plus the narrow-arm eligibility of (2) measured from the assignment trace
 (the fraction of steps whose live slots all sit below 128 with fewer than

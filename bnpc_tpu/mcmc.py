@@ -750,8 +750,14 @@ class MCMCRunner:
         if sh_block is not None:
             m_real = cfg.n_muts
             sh_raw = sh_block.raw
-            self._sh_data = (self._data_pad
-                             if self._block_sharded is not None else data)
+            # Committed to the mesh sharding ONCE (parallel/sharded.
+            # place_data) — an uncommitted jit argument would be re-laid-
+            # out to the shard_map in_spec sharding every block.
+            sh_mesh = (mesh if self._block_sharded is not None
+                       else self._chain_mesh)
+            self._sh_data = _psh.place_data(
+                sh_mesh,
+                self._data_pad if self._block_sharded is not None else data)
 
             def _pipe_sharded(states, keys, data_arg, n_steps):
                 step_keys, next_keys = _split_keys(keys, n_steps)

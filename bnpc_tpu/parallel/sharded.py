@@ -90,6 +90,27 @@ def data_specs() -> PackedData:
     )
 
 
+def place_data(mesh: Mesh, data: PackedData) -> PackedData:
+    """Commit the packed data planes to the mesh's data sharding ONCE.
+
+    The block functions take the data as a jit ARGUMENT, not a closure
+    constant (a closed-over array is baked into the lowered program — see
+    make_sharded_block). But an argument with no committed layout is
+    re-laid-out to the shard_map in_spec sharding on EVERY call, a
+    per-block redistribution of the whole [n, m] planes on a real mesh.
+    Placing them once here makes every subsequent call a no-op layout
+    match.
+    """
+    specs = data_specs()
+    if MUTS not in mesh.axis_names:
+        specs = _drop_muts(specs)
+    return jax.device_put(
+        data,
+        jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                     is_leaf=lambda x: isinstance(x, P)),
+    )
+
+
 def _drop_muts(specs):
     """Replace the MUTS mesh axis with None in a pytree of PartitionSpecs
     (for meshes that have no mutation axis)."""
@@ -218,8 +239,11 @@ def make_sharded_block(mesh: Mesh, cfg: ModelConfig, mcmc_cfg: MCMCConfig,
     # closed-over concrete arrays are embedded in the lowered program as
     # constants, which ships the whole [n, m] matrix in every compile
     # request and recompiles per dataset (see mcmc.MCMCRunner pipes).
+    # Committed to the mesh sharding ONCE so calls don't re-lay it out.
+    placed = place_data(mesh, data)
+
     def block(states, keys):
-        return jitted(data, states, keys)
+        return jitted(placed, states, keys)
 
     # Un-jitted, data-first body for callers that fold this block into
     # their own jitted pipeline (mcmc.MCMCRunner._pipe_sharded).

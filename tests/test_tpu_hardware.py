@@ -60,6 +60,15 @@ def test_estimator_parity_compiled():
     _run_probe("tpu_estimator_parity")
 
 
+def test_sharded_kernels_compiled():
+    """The sweep (resident + stream) and restricted-scan kernels compiled
+    INSIDE shard_map with a live MutAxis on real hardware match the scan
+    impls under the same shard_map — the muts-sharded kernel enablement's
+    Mosaic lowering, which the CPU-mesh interpret tests cannot exercise
+    (benchmarks/tpu_sharded_parity.py asserts internally)."""
+    _run_probe("tpu_sharded_parity")
+
+
 def test_smem_probe_at_caps():
     """The shipped scaling claims actually compile and run on this
     hardware: the streaming sweep at (and beyond) the old SMEM ceiling and
