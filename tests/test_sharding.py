@@ -116,6 +116,39 @@ def _chains_mesh_problem(n_chains, seed=11):
     return cfg, mcmc_cfg, packed, states, step_keys
 
 
+def test_runner_data_committed_to_mesh():
+    """The packed data the block pipes receive as a jit ARGUMENT must carry
+    the mesh sharding already (parallel/sharded.place_data): an uncommitted
+    argument is re-laid-out to the shard_map in_spec sharding on every
+    block dispatch — a per-block redistribution of the [n, m] planes on a
+    real mesh (round-5 review finding)."""
+    from jax.sharding import NamedSharding
+
+    from bnpc_tpu.mcmc import MCMCRunner
+
+    data, _ = make_problem(n=16, m=32, k_clones=2, seed=5)
+    cfg = ModelConfig(n_cells=16, n_muts=32, k_max=16, p=0.25, q=0.25,
+                      fp=0.01, fn=0.2)
+    mcmc_cfg = MCMCConfig(sm_prob=0.4, dpa_prob=0.5, error_prob=0.0,
+                          sm_steps=2)
+    packed = pack_data(data)
+
+    # Muts-sharded mesh: xm/xm0 split along the mutation axis.
+    mesh = sharded.make_mesh(2, 4)
+    runner = MCMCRunner(cfg, mcmc_cfg, packed, mesh=mesh)
+    want = NamedSharding(mesh, P(None, sharded.MUTS))
+    assert runner._sh_data.xm.sharding.is_equivalent_to(want, 2)
+    assert runner._sh_data.xm0.sharding.is_equivalent_to(want, 2)
+
+    # Chains-only mesh (virtual 8 CPU devices -> auto chain mesh): data is
+    # replicated, but the layout must still be committed to THAT mesh.
+    runner2 = MCMCRunner(cfg, mcmc_cfg, packed)
+    if runner2._sh_data is not None:
+        m2 = runner2._chain_mesh
+        want2 = NamedSharding(m2, P(None, None))
+        assert runner2._sh_data.xm.sharding.is_equivalent_to(want2, 2)
+
+
 def test_chains_mesh_local_one_runs_unbatched():
     """Chains sharded 1:1 over the devices: the shard_map body sees a local
     chain count of 1 and runs the kernel-capable UNBATCHED step (VERDICT
