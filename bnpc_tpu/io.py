@@ -67,6 +67,37 @@ def load_data(in_file, transpose: bool = True, get_names: bool = False):
         if ln.split(sep)[0] != " "
     )
 
+    if not header_row and not index_col:
+        # Fast path for plain numeric matrices: pandas' columnar parser and
+        # block manager are O(columns) with large constants — a 200 x 1M
+        # mutations-x-cells file (1M-cell simulation folders) ground for
+        # >16 min and >25 GB RSS in read_csv/replace, vs seconds here.
+        # np.fromstring tokenizes each row at C speed (text mode is not
+        # deprecated); the 3->NaN / 2->1 recodes are vectorized on the
+        # [rows, cols] float array. Any irregularity (e.g. the reference's
+        # " "-as-missing quirk producing ragged rows) falls back to the
+        # pandas path below, which reproduces every sniffing rule.
+        try:
+            rows = []
+            with open(in_file) as fh:
+                for line in fh:
+                    if line.strip():
+                        rows.append(np.fromstring(
+                            line, dtype=np.float64,
+                            sep=sep.strip() or " "))
+            mat = np.vstack(rows)
+        except ValueError:
+            mat = None
+        if mat is not None:
+            if transpose:
+                mat = mat.T
+            mat[mat == 3] = np.nan
+            mat[mat == 2] = 1
+            if get_names:
+                return mat, (np.arange(mat.shape[0]),
+                             np.arange(mat.shape[1]))
+            return mat
+
     df = pd.read_csv(
         in_file, sep=sep,
         index_col=0 if index_col else None,
